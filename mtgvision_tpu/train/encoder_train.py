@@ -1,0 +1,259 @@
+"""Encoder training: jitted train step + data-parallel pjit mesh.
+
+Rebuild of the reference Lightning module (mtgvision/encoder_train.py:257-783)
+as a functional JAX trainer:
+
+- ``EncoderConfig``   — the reference's pydantic Config (:846-889) as a
+  dataclass with the same field names/defaults; auto-CLI in train/config.py.
+- ``create_state``    — model + optax chain (clip 0.5 → adam/radam/sgd,
+  :449-496 semantics incl. eps=1e-4 for low-precision stability :455).
+- ``train_step``      — the :404-447 logic: optional recon loss on
+  clamp(y_recon, -0.25, 1.25), contrastive on cat(z, z2) with card-id labels,
+  optional set-contrastive on set labels; all under one jit.
+- data parallelism: batch sharded over a 1-D mesh, params replicated, XLA
+  all-reduces grads over ICI (replaces the reference's single-device trainer,
+  SURVEY.md §2.5).
+
+Model registry mirrors encoder_train.py:52-67 (12 AE variants, Z_SIZE=768).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mtgvision_tpu.models.convnextv2ae import AE_SIZES, ConvNeXtV2Ae
+from mtgvision_tpu.train import losses as L
+
+Z_SIZE = 768  # encoder_train.py:41
+NUM_CLASSES = 120_000  # arcface class count, encoder_train.py:381-392
+
+
+@dataclasses.dataclass
+class EncoderConfig:
+    """Field-parity with the reference pydantic Config (encoder_train.py:846-889)."""
+
+    seed: int = 42
+    # data
+    img_type: str = "small"
+    predownload: bool = False
+    similar_neg_prob: float = 0.2
+    target_is_input_prob: float = 0.05
+    # model
+    model_name: str = "cnvnxt2ae_nano"
+    head_type: str = "conv+linear"
+    # optimizer
+    optimizer: str = "radam"
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-7
+    gradient_clip_val: float = 0.5
+    accumulate_grad_batches: int = 1
+    # losses
+    loss_recon: str = "ssim5+l1"
+    scale_loss_recon: float = 1.0
+    loss_contrastive: str = "circle"
+    scale_loss_contrastive: float = 1.0
+    loss_set_contrastive: str = ""
+    scale_loss_set_contrastive: float = 0.3
+    # trainer
+    batch_size: int = 64
+    max_steps: int = 100_000
+    precision: str = "bf16"  # TPU-native (reference: fp16 on cuda, :745)
+    checkpoint: Optional[str] = None
+    ckpt_dir: str = "checkpoints"
+    ckpt_every: int = 2500
+    log_every: int = 100
+    img_log_every: int = 2500
+    # data loading
+    num_workers: int = 6
+    # parallelism (new — reference is single-device)
+    n_devices: int = 0  # 0 = all local devices
+
+    @property
+    def x_size_hw(self) -> tuple[int, int]:
+        return (192, 128)
+
+    @property
+    def y_size_hw(self) -> tuple[int, int]:
+        return (192, 128)
+
+
+# model registry (encoder_train.py:52-67): name → AE size key
+MODELS: dict[str, str] = {
+    "cnvnxt2ae_atto": "atto",
+    "cnvnxt2ae_femto": "femto",
+    "cnvnxt2ae_pico": "pico",
+    "cnvnxt2ae_nano": "nano",
+    "cnvnxt2ae_tiny": "tiny",
+    "cnvnxt2ae_tiny_9_128": "tiny_9_128",
+    "cnvnxt2ae_tiny_12_128": "tiny_12_128",
+    "cnvnxt2ae_base_9": "base_9",
+    "cnvnxt2ae_base_12": "base_12",
+    "cnvnxt2ae_base": "base",
+    "cnvnxt2ae_large": "large",
+    "cnvnxt2ae_huge": "huge",
+}
+
+
+def build_model(config: EncoderConfig) -> ConvNeXtV2Ae:
+    size = MODELS[config.model_name]
+    dtype = jnp.bfloat16 if config.precision == "bf16" else jnp.float32
+    return ConvNeXtV2Ae(
+        image_hw=config.x_size_hw,
+        z_size=Z_SIZE,
+        head_type=config.head_type,
+        decoder_enabled=bool(config.loss_recon),
+        dtype=dtype,
+        **AE_SIZES[size],
+    )
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    # learned class-weight matrices for arcface-style losses (None otherwise)
+    loss_weights: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Any = struct.field(pytree_node=False)
+
+
+def make_optimizer(config: EncoderConfig) -> optax.GradientTransformation:
+    """clip(0.5) → {adam|radam|sgd} with eps=1e-4 (encoder_train.py:449-496)."""
+    opt = {
+        "adam": partial(optax.adam, eps=1e-4),
+        "radam": partial(optax.radam, eps=1e-4),
+        "sgd": optax.sgd,
+        # reference's deepspeed_cpu_adam is a single-device CPU-offload adam
+        # (encoder_train.py:472-479) — meaningless on TPU; alias to adam.
+        "deepspeed_cpu_adam": partial(optax.adam, eps=1e-4),
+    }[config.optimizer](learning_rate=config.learning_rate)
+    chain = [optax.clip_by_global_norm(config.gradient_clip_val), opt]
+    if config.weight_decay:
+        chain.insert(1, optax.add_decayed_weights(config.weight_decay))
+    tx = optax.chain(*chain)
+    if config.accumulate_grad_batches > 1:
+        tx = optax.MultiSteps(tx, config.accumulate_grad_batches)
+    return tx
+
+
+def create_state(config: EncoderConfig, rng: jax.Array) -> TrainState:
+    model = build_model(config)
+    h, w = config.x_size_hw
+    params = model.init(rng, jnp.zeros((1, h, w, 3), jnp.float32), True)["params"]
+
+    loss_weights = {}
+    for name in (config.loss_contrastive, config.loss_set_contrastive):
+        if name in L.CLASS_WEIGHT_LOSSES and name not in loss_weights:
+            k = 3 if name == "sub_center_arc_face" else 1
+            loss_weights[name] = jax.random.normal(
+                jax.random.fold_in(rng, 7), (NUM_CLASSES * k, Z_SIZE), jnp.float32
+            ) * 0.01
+    loss_weights = loss_weights or None
+
+    tx = make_optimizer(config)
+    trainable = {"params": params, "loss_weights": loss_weights}
+    opt_state = tx.init(trainable)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=opt_state,
+        loss_weights=loss_weights,
+        tx=tx,
+        apply_fn=model.apply,
+    )
+
+
+def _metric_loss(name: str, loss_weights, z, labels):
+    if name in L.CLASS_WEIGHT_LOSSES:
+        w = loss_weights[name]
+        if name == "arc_face":
+            return L.arcface_loss(z, w, labels)
+        return L.subcenter_arcface_loss(z, w, labels)
+    return L.METRIC_LOSSES[name](z, labels)
+
+
+def loss_fn(params, loss_weights, batch, config: EncoderConfig, apply_fn):
+    """encoder_train.py:404-447 as a pure function. Batch keys: y, x, x_labels,
+    x2, x2_labels (BatchHintNumpy, encoder_train.py:74-88); labels are (B, 3)
+    int32 [card_id, name_id, set_id]."""
+    logs = {}
+    loss = 0.0
+
+    variables = {"params": params}
+    if not config.loss_recon:
+        z = apply_fn(variables, batch["x"], method="encode")
+    else:
+        z, (y_recon, *_) = apply_fn(variables, batch["x"])
+        y_recon = jnp.clip(y_recon, -0.25, 1.25)  # grad-explosion guard (:412)
+        recon = L.recon_loss_fn(config.loss_recon)(
+            y_recon[: batch["y"].shape[0]], batch["y"]
+        )
+        logs["loss_recon"] = recon
+        loss = loss + recon * config.scale_loss_recon
+
+    if config.loss_contrastive or config.loss_set_contrastive:
+        z2 = apply_fn(variables, batch["x2"], method="encode")
+        z_all = jnp.concatenate([z, z2], axis=0)
+        labels_all = jnp.concatenate([batch["x_labels"], batch["x2_labels"]], axis=0)
+
+    if config.loss_contrastive:
+        lc = _metric_loss(config.loss_contrastive, loss_weights, z_all, labels_all[:, 0])
+        logs["loss_metric"] = lc
+        loss = loss + lc * config.scale_loss_contrastive
+
+    if config.loss_set_contrastive:
+        ls = _metric_loss(config.loss_set_contrastive, loss_weights, z_all, labels_all[:, 2])
+        logs["loss_set_metric"] = ls
+        loss = loss + ls * config.scale_loss_set_contrastive
+
+    logs["loss"] = loss
+    return loss, logs
+
+
+def train_step(state: TrainState, batch, config: EncoderConfig):
+    """One optimization step (pure; jit/pjit-wrapped by ``make_train_step``)."""
+
+    def wrapped(trainable):
+        return loss_fn(
+            trainable["params"], trainable["loss_weights"], batch, config, state.apply_fn
+        )
+
+    trainable = {"params": state.params, "loss_weights": state.loss_weights}
+    (loss, logs), grads = jax.value_and_grad(wrapped, has_aux=True)(trainable)
+    updates, opt_state = state.tx.update(grads, state.opt_state, trainable)
+    new = optax.apply_updates(trainable, updates)
+    return (
+        state.replace(
+            step=state.step + 1,
+            params=new["params"],
+            loss_weights=new["loss_weights"],
+            opt_state=opt_state,
+        ),
+        logs,
+    )
+
+
+def make_train_step(config: EncoderConfig, mesh: Mesh | None = None):
+    """Jit (single-chip) or pjit-DP (mesh) train step.
+
+    With a mesh: batch sharded on the leading axis, state replicated; XLA
+    inserts the grad all-reduce over ICI automatically.
+    """
+    step = partial(train_step, config=config)
+    if mesh is None:
+        return jax.jit(step)
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(mesh.axis_names[0]))
+    batch_sh = {
+        "y": shard, "x": shard, "x_labels": shard, "x2": shard, "x2_labels": shard,
+    }
+    return jax.jit(step, in_shardings=(repl, batch_sh), out_shardings=(repl, repl))

@@ -1,0 +1,109 @@
+"""Vector index tests: Qdrant-parity API + correctness vs numpy brute force."""
+
+import numpy as np
+import pytest
+
+from mtgvision_tpu.index import VectorPoint, VectorStore
+from mtgvision_tpu.ops.topk import cosine_topk, topk_scores
+
+import jax.numpy as jnp
+
+
+def _mk_store(n=100, d=32, seed=0, mesh=None):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    store = VectorStore(dim=d, capacity=8, mesh=mesh)
+    store.save_points(
+        [VectorPoint(id=f"card-{i}", vector=v, payload={"i": i}) for i, v in enumerate(vecs)]
+    )
+    return store, vecs
+
+
+def _np_topk(q, vecs, k):
+    qn = q / np.linalg.norm(q)
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    s = vn @ qn
+    return np.argsort(-s)[:k], np.sort(s)[::-1][:k]
+
+
+def test_save_retrieve_update():
+    store, vecs = _mk_store()
+    assert len(store) == 100
+    [p] = store.retrieve(["card-7"])
+    assert p.payload == {"i": 7}
+    assert np.allclose(p.vector, vecs[7] / np.linalg.norm(vecs[7]), atol=1e-6)
+    store.update_payload("card-7", {"name": "Island"})
+    [p] = store.retrieve(["card-7"])
+    assert p.payload == {"i": 7, "name": "Island"}
+    # unknown ids silently skipped (qdrant parity)
+    assert store.retrieve(["nope", "card-3"])[0].id == "card-3"
+
+
+def test_upsert_overwrites():
+    store, vecs = _mk_store(n=10, d=8)
+    store.save_points([VectorPoint(id="card-3", vector=np.ones(8, np.float32))])
+    assert len(store) == 10
+    [p] = store.retrieve(["card-3"])
+    assert np.allclose(p.vector, np.ones(8) / np.sqrt(8), atol=1e-6)
+
+
+def test_query_matches_numpy():
+    store, vecs = _mk_store(n=257, d=32)
+    q = np.random.default_rng(1).standard_normal(32).astype(np.float32)
+    res = store.query_nearby(q, k=5)
+    ids_np, scores_np = _np_topk(q, vecs, 5)
+    assert [r.id for r in res] == [f"card-{i}" for i in ids_np]
+    assert np.allclose([r.score for r in res], scores_np, atol=2e-2)  # bf16 matmul
+    assert res[0].payload == {"i": int(ids_np[0])}
+
+
+def test_query_threshold():
+    store, vecs = _mk_store(n=50, d=16)
+    q = vecs[10]
+    res = store.query_nearby(q, k=10, score_threshold=0.99)
+    assert [r.id for r in res] == ["card-10"]
+
+
+def test_query_batch():
+    store, vecs = _mk_store(n=64, d=16)
+    qs = vecs[[3, 40]]
+    out = store.query_nearby_batch(qs, k=1)
+    assert [o[0].id for o in out] == ["card-3", "card-40"]
+
+
+def test_empty_store():
+    store = VectorStore(dim=8)
+    assert store.query_nearby(np.ones(8, np.float32), k=3) == []
+
+
+def test_persistence_roundtrip(tmp_path):
+    store, vecs = _mk_store(n=20, d=8)
+    store.save_to_dir(tmp_path / "idx")
+    loaded = VectorStore.load_from_dir(tmp_path / "idx")
+    assert len(loaded) == 20
+    q = vecs[5]
+    assert loaded.query_nearby(q, k=1)[0].id == "card-5"
+    assert loaded.retrieve(["card-5"])[0].payload == {"i": 5}
+
+
+def test_sharded_query(mesh8):
+    store, vecs = _mk_store(n=333, d=32, mesh=mesh8)
+    q = np.random.default_rng(2).standard_normal(32).astype(np.float32)
+    res = store.query_nearby(q, k=5)
+    ids_np, _ = _np_topk(q, vecs, 5)
+    assert [r.id for r in res] == [f"card-{i}" for i in ids_np]
+
+
+def test_topk_scores_matches_sort(rng):
+    s = jnp.asarray(rng.standard_normal((4, 10_000)).astype(np.float32))
+    v, i = topk_scores(s, 7, chunk=512)
+    ref = np.sort(np.asarray(s), axis=1)[:, ::-1][:, :7]
+    assert np.allclose(v, ref)
+
+
+def test_cosine_topk(rng):
+    db = rng.standard_normal((500, 64)).astype(np.float32)
+    q = db[[17, 256]] * 3.0  # scale-invariant under cosine
+    v, i = cosine_topk(jnp.asarray(q), jnp.asarray(db), k=1, normalized=False)
+    assert list(np.asarray(i)[:, 0]) == [17, 256]
+    assert np.allclose(v, 1.0, atol=1e-2)

@@ -1,0 +1,97 @@
+"""Geometry tests: matrices, homographies, warps."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from mtgvision_tpu.ops import warp as W
+
+
+def test_rotation_matrix_points():
+    m = W.rotation_matrix_2d(jnp.pi / 2)
+    pts = jnp.asarray([[1.0, 0.0]])
+    out = W.apply_transform_points(m, pts)
+    assert np.allclose(out, [[0.0, 1.0]], atol=1e-6)
+
+
+def test_affine_compose_identity():
+    m = W.affine_matrix(rot=0.3, tx=5, ty=-2, sx=1.5, center=(10, 20))
+    minv = jnp.linalg.inv(m)
+    pts = jnp.asarray([[0.0, 0.0], [3.0, 4.0], [-7.0, 2.0]])
+    assert np.allclose(W.apply_transform_points(minv, W.apply_transform_points(m, pts)), pts, atol=1e-4)
+
+
+def test_perspective_from_quads_maps_corners():
+    src = jnp.asarray([[0.0, 0.0], [10.0, 0.0], [10.0, 20.0], [0.0, 20.0]])
+    dst = jnp.asarray([[1.0, 2.0], [12.0, 1.0], [11.0, 22.0], [-1.0, 19.0]])
+    h = W.perspective_from_quads(src, dst)
+    out = W.apply_transform_points(h, src)
+    assert np.allclose(out, dst, atol=1e-4)
+
+
+def test_perspective_from_quads_batched():
+    src = jnp.broadcast_to(
+        jnp.asarray([[0.0, 0.0], [10.0, 0.0], [10.0, 20.0], [0.0, 20.0]]), (3, 4, 2)
+    )
+    dst = src + jnp.arange(3, dtype=jnp.float32)[:, None, None]
+    h = W.perspective_from_quads(src, dst)
+    assert h.shape == (3, 3, 3)
+    out = W.apply_transform_points(h, src)
+    assert np.allclose(out, dst, atol=1e-4)
+
+
+def test_warp_identity(rng):
+    img = jnp.asarray(rng.random((16, 12, 3), np.float32))
+    out = W.warp_perspective(img, jnp.eye(3), (16, 12))
+    assert np.allclose(out, img, atol=1e-5)
+
+
+def test_warp_translation_fill(rng):
+    img = jnp.asarray(rng.random((8, 8, 3), np.float32))
+    m = W.translation_matrix_2d(4.0, 0.0)  # shift right 4 px
+    out = np.asarray(W.warp_perspective(img, m, (8, 8)))
+    assert np.allclose(out[:, :4], 0.0)  # fill on the left
+    assert np.allclose(out[:, 4:], np.asarray(img)[:, :4], atol=1e-5)
+
+
+def test_warp_batched(rng):
+    imgs = jnp.asarray(rng.random((4, 8, 8, 3), np.float32))
+    ms = jnp.broadcast_to(jnp.eye(3), (4, 3, 3))
+    out = W.warp_perspective(imgs, ms, (8, 8))
+    assert out.shape == (4, 8, 8, 3)
+    assert np.allclose(out, imgs, atol=1e-5)
+
+
+def test_warp_dewarp_roundtrip(rng):
+    """Warping a card to a quad and back recovers the interior — the
+    extract_dewarped invariant (od_export.py:95-110)."""
+    # smooth gradient content — white noise would be destroyed by double
+    # bilinear resampling regardless of geometric correctness
+    yy, xx = np.meshgrid(np.linspace(0, 1, 32), np.linspace(0, 1, 24), indexing="ij")
+    img = jnp.asarray(
+        np.stack([yy, xx, (yy + xx) / 2], -1).astype(np.float32)
+    )
+    src = jnp.asarray([[0.0, 0.0], [23.0, 0.0], [23.0, 31.0], [0.0, 31.0]])
+    dst = jnp.asarray([[5.0, 3.0], [40.0, 6.0], [38.0, 50.0], [3.0, 47.0]])
+    h = W.perspective_from_quads(src, dst)
+    scene = W.warp_perspective(img, h, (64, 48))
+    back = W.warp_perspective(scene, jnp.linalg.inv(h), (32, 24))
+    a = np.asarray(back)[4:-4, 4:-4]
+    b = np.asarray(img)[4:-4, 4:-4]
+    assert np.abs(a - b).mean() < 0.03
+
+
+def test_rotate_bounded_90(rng):
+    img = jnp.asarray(rng.random((20, 10, 3), np.float32))
+    out = W.rotate_bounded(img, 90.0, out_hw=(20, 10))
+    assert out.shape == (20, 10, 3)
+    # energy is conserved-ish in the visible region (content scaled to fit)
+    assert float(jnp.mean(out)) > 0.05
+
+
+def test_warp_onto_composite(rng):
+    bg = jnp.asarray(rng.random((16, 16, 3), np.float32))
+    fg = jnp.ones((8, 8, 4), jnp.float32)
+    m = W.translation_matrix_2d(4.0, 4.0)
+    out = np.asarray(W.warp_perspective_onto(fg, m, bg))
+    assert np.allclose(out[6:10, 6:10], 1.0, atol=1e-5)  # pasted region white
+    assert np.allclose(out[0, 0], np.asarray(bg)[0, 0], atol=1e-5)
