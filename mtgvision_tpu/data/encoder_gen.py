@@ -1,0 +1,504 @@
+"""Encoder synthetic pair generation — batched, device-side.
+
+Rebuild of the reference compositor (mtgvision/encoder_datasets.py:669-834:
+``_RAN_BG``/``_RAN_FG``/``_RAN_VRTL`` pipelines, ``make_cropped``/
+``make_masked``/``make_bg``/``make_virtual``/``make_virtual_pair``) and the
+training dataset (mtgvision/encoder_train.py:90-250 ``RanMtgEncDecDataset``).
+
+TPU-first restructuring: the reference generates one pair at a time on the CPU
+(~95 pairs/s, encoder_datasets.py:858); here the host only gathers raw card /
+background pixels into batches, and the entire augment→mask→composite→degrade
+chain runs as ONE jitted, vmapped XLA program on device. The per-sample
+``target_is_input`` swap (encoder_train.py:178-186) becomes an on-device
+select, and the ``similar_neg`` swap (:217-226) stays host-side (it's an index
+choice into the catalog).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mtgvision_tpu.data.catalog import Backgrounds, CardCatalog
+from mtgvision_tpu.ops import augment as A
+from mtgvision_tpu.ops import image as I
+from mtgvision_tpu.utils.random import ApplyChoice, ApplyOrdered, ApplyShuffled
+
+# ---------------------------------------------------------------------------
+# augmentation pipelines (encoder_datasets.py:669-731, structure preserved)
+# ---------------------------------------------------------------------------
+
+RAN_BG = ApplyShuffled(
+    ApplyOrdered(A.flip, A.rotate_bounded, A.warp_inv),
+    ApplyChoice(A.tint, None),
+    ApplyChoice(A.fade_black, A.fade_white, A.brightness_contrast, None),
+)
+
+RAN_FG = ApplyOrdered(
+    ApplyChoice(A.downscale_upscale, None, None, None),
+    ApplyChoice(A.warp, A.affine_transform, A.perspective_transform, None),
+    ApplyChoice(A.tint, None),
+    ApplyChoice(A.fade_black, A.fade_white, A.brightness_contrast, None),
+)
+
+_NOISE_CHOICE = ApplyChoice(
+    A.noise, A.gaussian_noise, A.salt_pepper_noise, A.random_erasing, A.cutout, None
+)
+
+RAN_VRTL = ApplyShuffled(
+    ApplyChoice(A.downscale_upscale, None, None, None),
+    ApplyChoice(A.blur, None, None),
+    ApplyChoice(A.sharpen, None, None),
+    _NOISE_CHOICE,
+    ApplyChoice(_NOISE_CHOICE, None),
+    ApplyChoice(A.tint, None),
+    ApplyChoice(A.fade_black, A.fade_white, A.brightness_contrast, None),
+)
+
+
+# ---------------------------------------------------------------------------
+# single-sample programs (vmapped below)
+# ---------------------------------------------------------------------------
+
+
+def make_cropped(card_img: jnp.ndarray, size_hw: tuple[int, int]) -> jnp.ndarray:
+    """2% border crop + resize — the clean target y (encoder_datasets.py:733-755)."""
+    h, w = card_img.shape[:2]
+    border = math.ceil(max(0.02 * h, 0.02 * w))
+    return I.remove_border_resized(card_img, border, size_hw)
+
+
+def make_masked(card_img: jnp.ndarray) -> jnp.ndarray:
+    """RGBA with rounded-rect alpha (encoder_datasets.py:755-773)."""
+    mask = I.round_rect_mask(card_img.shape[:2], radius_ratio=0.05)
+    return jnp.concatenate([card_img, mask[..., None]], axis=-1)
+
+
+def make_bg(key, bg_img: jnp.ndarray, size_hw: tuple[int, int]) -> jnp.ndarray:
+    """Augment then crop-to-cover (encoder_datasets.py:774-785)."""
+    bg = RAN_BG(key, bg_img)
+    return I.crop_to_size(bg, size_hw, pad=False)
+
+
+def make_virtual(
+    key,
+    card_img: jnp.ndarray,
+    bg_img: jnp.ndarray,
+    size_hw: tuple[int, int],
+    half_upsidedown: bool = False,
+) -> jnp.ndarray:
+    """Mask card → pad-to-size → FG augs → composite over augmented BG →
+    virtual augs (encoder_datasets.py:786-814)."""
+    kud, kfg, kbg, kv = jax.random.split(key, 4)
+    if half_upsidedown:
+        card_img = jnp.where(
+            jax.random.bernoulli(kud), jnp.rot90(card_img, 2, (0, 1)), card_img
+        )
+    fg = make_masked(card_img)
+    fg = I.crop_to_size(fg, size_hw, pad=True)
+    fg = RAN_FG(kfg, fg)
+    bg = make_bg(kbg, bg_img, size_hw)
+    virt = I.rgba_over_rgb(fg, bg)
+    return RAN_VRTL(kv, virt)
+
+
+def make_virtual_pair(
+    key,
+    card_img: jnp.ndarray,
+    bg_img: jnp.ndarray,
+    x_size_hw: tuple[int, int],
+    y_size_hw: tuple[int, int],
+    half_upsidedown: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(x, y) training pair (encoder_datasets.py:815-834)."""
+    x = make_virtual(key, card_img, bg_img, x_size_hw, half_upsidedown)
+    y = make_cropped(card_img, y_size_hw)
+    return x, y
+
+
+# ---------------------------------------------------------------------------
+# batched jitted programs
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("x_size_hw", "y_size_hw", "half_upsidedown")
+)
+def make_pair_batch(
+    key,
+    card_imgs: jnp.ndarray,  # (B, Hc, Wc, 3) clean card scans
+    pair_imgs: jnp.ndarray,  # (B, Hc, Wc, 3) x2 source (same or similar card)
+    bg0: jnp.ndarray,  # (B, Hb, Wb, 3)
+    bg1: jnp.ndarray,  # (B, Hb, Wb, 3)
+    target_is_input_mask: jnp.ndarray,  # (B,) bool — swap x for clean crop
+    x_size_hw: tuple[int, int] = (192, 128),
+    y_size_hw: tuple[int, int] = (192, 128),
+    half_upsidedown: bool = False,
+):
+    """One fused device program: y, x, x2 for the whole batch."""
+    b = card_imgs.shape[0]
+    k1, k2 = jax.random.split(key)
+    keys1 = jax.random.split(k1, b)
+    keys2 = jax.random.split(k2, b)
+
+    def one_x(k, card, bg):
+        return make_virtual(k, card, bg, x_size_hw, half_upsidedown)
+
+    x_virWar = jax.vmap(one_x)(keys1, card_imgs, bg0)
+    y = jax.vmap(lambda c: make_cropped(c, y_size_hw))(card_imgs)
+    x_clean = (
+        y
+        if x_size_hw == y_size_hw
+        else jax.vmap(lambda c: make_cropped(c, x_size_hw))(card_imgs)
+    )
+    x = jnp.where(target_is_input_mask[:, None, None, None], x_clean, x_virWar)
+    x2 = jax.vmap(one_x)(keys2, pair_imgs, bg1)
+    return {"y": y, "x": x, "x2": x2}
+
+
+@functools.partial(jax.jit, static_argnames=("size_hw",))
+def make_cropped_batch(card_imgs: jnp.ndarray, size_hw: tuple[int, int] = (192, 128)):
+    """Batched clean crops — the index-population input (qdrant_populate.py:84-90)."""
+    return jax.vmap(lambda c: make_cropped(c, size_hw))(card_imgs)
+
+
+@functools.partial(jax.jit, static_argnames=("size_hw", "half_upsidedown"))
+def make_virtual_batch(
+    key, card_imgs, bg_imgs, size_hw: tuple[int, int] = (192, 128),
+    half_upsidedown: bool = False,
+):
+    keys = jax.random.split(key, card_imgs.shape[0])
+    return jax.vmap(lambda k, c, b: make_virtual(k, c, b, size_hw, half_upsidedown))(
+        keys, card_imgs, bg_imgs
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("x_size_hw", "y_size_hw", "half_upsidedown")
+)
+def make_pair_batch_pooled(
+    key,
+    card_pool_u8: jnp.ndarray,  # (P, Hc, Wc, 3) uint8, device-resident
+    bg_pool_u8: jnp.ndarray,  # (Q, Hb, Wb, 3) uint8, device-resident
+    card_idx: jnp.ndarray,  # (B,) int32 slots into card pool
+    pair_idx: jnp.ndarray,  # (B,) int32
+    bg0_idx: jnp.ndarray,  # (B,) int32 slots into bg pool
+    bg1_idx: jnp.ndarray,  # (B,) int32
+    target_is_input_mask: jnp.ndarray,  # (B,) bool
+    x_size_hw: tuple[int, int] = (192, 128),
+    y_size_hw: tuple[int, int] = (192, 128),
+    half_upsidedown: bool = False,
+):
+    """Pool-gather variant of :func:`make_pair_batch` — the production path.
+
+    Host→device traffic per batch is just the index vectors (~1 KB); pixels
+    live in HBM as uint8 (4× smaller than f32) and are gathered + converted
+    on device. This is the TPU-first answer to the reference's per-sample CPU
+    compositor (encoder_datasets.py:858 ~95 pairs/s): the tunnel/PCIe never
+    sees an image.
+    """
+    to_f32 = lambda u8: u8.astype(jnp.float32) / 255.0
+    return make_pair_batch(
+        key,
+        to_f32(card_pool_u8[card_idx]),
+        to_f32(card_pool_u8[pair_idx]),
+        to_f32(bg_pool_u8[bg0_idx]),
+        to_f32(bg_pool_u8[bg1_idx]),
+        target_is_input_mask,
+        x_size_hw=x_size_hw,
+        y_size_hw=y_size_hw,
+        half_upsidedown=half_upsidedown,
+    )
+
+
+class DeviceCardPool:
+    """HBM-resident uint8 card library with host-side label/name indexes.
+
+    Holds up to ``pool_size`` catalog cards on device; ``refresh`` swaps a
+    chunk of slots for freshly sampled cards (round-robin) so arbitrarily
+    large catalogs stream through a bounded HBM footprint.
+    """
+
+    def __init__(self, catalog: CardCatalog, pool_size: int, rng: np.random.Generator):
+        self.catalog = catalog
+        n = len(catalog)
+        self.pool_size = min(pool_size, n)
+        # initial fill: a random permutation prefix (whole catalog if it fits)
+        self._slot_card = list(rng.permutation(n)[: self.pool_size])
+        imgs = np.stack(
+            [
+                np.asarray(catalog.get_image(catalog.card_by_index(int(i))) * 255, np.uint8)
+                for i in self._slot_card
+            ]
+        )
+        self.images = jnp.asarray(imgs)  # (P, Hc, Wc, 3) uint8 on device
+        self._rebuild_indexes()
+        self._refresh_cursor = 0
+
+    def _rebuild_indexes(self):
+        self.slot_labels = np.asarray(
+            [
+                self.catalog.card_get_labels(self.catalog.card_by_index(int(i)))
+                for i in self._slot_card
+            ],
+            np.int32,
+        )
+        self._name_slots: dict[int, list[int]] = {}
+        for s, lab in enumerate(self.slot_labels):
+            self._name_slots.setdefault(int(lab[1]), []).append(s)
+
+    def card_at(self, slot: int):
+        return self.catalog.card_by_index(int(self._slot_card[slot]))
+
+    def similar_slot(self, slot: int, rng: np.random.Generator) -> int:
+        """Another pool slot with the same card *name* (hard negative), or the
+        same slot if no other printing is pooled (encoder_datasets.py:619-630)."""
+        cands = self._name_slots.get(int(self.slot_labels[slot][1]), [slot])
+        if len(cands) <= 1:
+            return slot
+        pick = slot
+        while pick == slot:
+            pick = cands[int(rng.integers(len(cands)))]
+        return pick
+
+    def refresh(self, rng: np.random.Generator, chunk: int):
+        """Swap ``chunk`` round-robin slots for fresh random catalog cards."""
+        n = len(self.catalog)
+        if self.pool_size >= n or chunk <= 0:
+            return
+        slots = [(self._refresh_cursor + i) % self.pool_size for i in range(chunk)]
+        self._refresh_cursor = (self._refresh_cursor + chunk) % self.pool_size
+        new_cards = rng.integers(0, n, len(slots))
+        imgs = np.stack(
+            [
+                np.asarray(
+                    self.catalog.get_image(self.catalog.card_by_index(int(i))) * 255,
+                    np.uint8,
+                )
+                for i in new_cards
+            ]
+        )
+        self.images = self.images.at[jnp.asarray(slots)].set(jnp.asarray(imgs))
+        for s, c in zip(slots, new_cards):
+            self._slot_card[s] = int(c)
+        self._rebuild_indexes()
+
+
+class DeviceBgPool:
+    """HBM-resident uint8 background pool."""
+
+    def __init__(self, backgrounds: Backgrounds, pool_size: int, rng: np.random.Generator):
+        imgs = np.stack(
+            [
+                np.asarray(backgrounds.ran_image(rng) * 255, np.uint8)
+                for _ in range(pool_size)
+            ]
+        )
+        self.images = jnp.asarray(imgs)
+        self.pool_size = pool_size
+
+
+# ---------------------------------------------------------------------------
+# host-side dataset (encoder_train.py:90-250)
+# ---------------------------------------------------------------------------
+
+
+class EncoderDataset:
+    """Infinite random pair batches; API parity with RanMtgEncDecDataset.
+
+    Batch dict keys: y, x, x_labels, x2, x2_labels (BatchHintNumpy,
+    encoder_train.py:74-88). Labels (B, 3) int32 [card, name, set].
+    """
+
+    def __init__(
+        self,
+        catalog: CardCatalog,
+        backgrounds: Backgrounds,
+        default_batch_size: int = 64,
+        *,
+        paired: bool = True,
+        targets: bool = True,
+        x_size_hw: tuple[int, int] = (192, 128),
+        y_size_hw: tuple[int, int] = (192, 128),
+        half_upsidedown: bool = False,
+        target_is_input_prob: float = 0.05,
+        similar_neg_prob: float = 0.2,
+        seed: int = 0,
+        cache_images: bool = True,
+        use_device_pool: bool = True,
+        pool_size: int = 4096,
+        bg_pool_size: int = 256,
+        pool_refresh_per_batch: int = 0,
+    ):
+        self.catalog = catalog
+        self.backgrounds = backgrounds
+        self.default_batch_size = default_batch_size
+        self.paired = paired
+        self.targets = targets
+        self.x_size_hw = tuple(x_size_hw)
+        self.y_size_hw = tuple(y_size_hw)
+        self.half_upsidedown = half_upsidedown
+        self.target_is_input_prob = target_is_input_prob
+        self.similar_neg_prob = similar_neg_prob
+        self.rng = np.random.default_rng(seed)
+        self.key = jax.random.PRNGKey(seed)
+        self._img_cache: Optional[dict] = {} if cache_images else None
+        self.use_device_pool = use_device_pool
+        self.pool_refresh_per_batch = pool_refresh_per_batch
+        self._card_pool: Optional[DeviceCardPool] = None
+        self._bg_pool: Optional[DeviceBgPool] = None
+        self._pool_size = pool_size
+        self._bg_pool_size = bg_pool_size
+
+    def _pools(self):
+        if self._card_pool is None:
+            self._card_pool = DeviceCardPool(self.catalog, self._pool_size, self.rng)
+            self._bg_pool = DeviceBgPool(self.backgrounds, self._bg_pool_size, self.rng)
+        return self._card_pool, self._bg_pool
+
+    def _card_image(self, card) -> np.ndarray:
+        if self._img_cache is not None:
+            im = self._img_cache.get(card.id)
+            if im is None:
+                im = self.catalog.get_image(card)
+                self._img_cache[card.id] = im
+            return im
+        return self.catalog.get_image(card)
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def __iter__(self):
+        while True:
+            yield self.random_batch()
+
+    def random_batch(self, n: int | None = None) -> dict:
+        n = n or self.default_batch_size
+        if self.use_device_pool:
+            return self._random_batch_pooled(n)
+        cards = [self.catalog.ran_card(self.rng) for _ in range(n)]
+        return self.batch_for_cards(cards)
+
+    def _random_batch_pooled(self, n: int) -> dict:
+        """Production path: ~1 KB of indices to device per batch."""
+        pool, bgp = self._pools()
+        if self.pool_refresh_per_batch:
+            pool.refresh(self.rng, self.pool_refresh_per_batch)
+        card_idx = self.rng.integers(0, pool.pool_size, n)
+        pair_idx = np.asarray(
+            [
+                pool.similar_slot(int(s), self.rng)
+                if (self.paired and self.rng.random() < self.similar_neg_prob)
+                else int(s)
+                for s in card_idx
+            ],
+            np.int32,
+        )
+        bg0 = self.rng.integers(0, bgp.pool_size, n)
+        bg1 = self.rng.integers(0, bgp.pool_size, n)
+        t_mask = self.rng.random(n) < self.target_is_input_prob
+        out = make_pair_batch_pooled(
+            self._next_key(),
+            pool.images,
+            bgp.images,
+            jnp.asarray(card_idx, jnp.int32),
+            jnp.asarray(pair_idx, jnp.int32),
+            jnp.asarray(bg0, jnp.int32),
+            jnp.asarray(bg1, jnp.int32),
+            jnp.asarray(t_mask),
+            x_size_hw=self.x_size_hw,
+            y_size_hw=self.y_size_hw,
+            half_upsidedown=self.half_upsidedown,
+        )
+        batch = {"x": out["x"], "x_labels": pool.slot_labels[card_idx]}
+        if self.targets:
+            batch["y"] = out["y"]
+        if self.paired:
+            batch["x2"] = out["x2"]
+            batch["x2_labels"] = pool.slot_labels[pair_idx]
+        return batch
+
+    def image_batch_by_ids(
+        self, ids, *, force_target_input: bool = False, force_similar_neg: bool = False
+    ) -> dict:
+        """Deterministic vis batches (encoder_train.py:122-140)."""
+        if isinstance(ids, str):
+            ids = [ids]
+        cards = [self.catalog.get_card_by_id(i) for i in ids]
+        return self.batch_for_cards(
+            cards,
+            target_in_prob=1.0 if force_target_input else 0.0,
+            similar_neg_prob=1.0 if force_similar_neg else 0.0,
+        )
+
+    def batch_for_cards(
+        self,
+        cards,
+        target_in_prob: float | None = None,
+        similar_neg_prob: float | None = None,
+    ) -> dict:
+        n = len(cards)
+        t_prob = self.target_is_input_prob if target_in_prob is None else target_in_prob
+        s_prob = self.similar_neg_prob if similar_neg_prob is None else similar_neg_prob
+
+        card_imgs = np.stack([self._card_image(c) for c in cards])
+        x_labels = np.asarray(
+            [self.catalog.card_get_labels(c) for c in cards], np.int32
+        )
+
+        # x2 source: same card, or a similar (same-name) negative with prob s
+        pair_cards = []
+        for c in cards:
+            if self.paired and self.rng.random() < s_prob:
+                pair_cards.append(self.catalog.get_similar_card(c, self.rng))
+            else:
+                pair_cards.append(c)
+        pair_imgs = np.stack([self._card_image(c) for c in pair_cards])
+        x2_labels = np.asarray(
+            [self.catalog.card_get_labels(c) for c in pair_cards], np.int32
+        )
+
+        bg0 = np.stack([self.backgrounds.ran_image(self.rng) for _ in range(n)])
+        bg1 = np.stack([self.backgrounds.ran_image(self.rng) for _ in range(n)])
+        t_mask = self.rng.random(n) < t_prob
+
+        out = make_pair_batch(
+            self._next_key(),
+            jnp.asarray(card_imgs),
+            jnp.asarray(pair_imgs),
+            jnp.asarray(bg0),
+            jnp.asarray(bg1),
+            jnp.asarray(t_mask),
+            x_size_hw=self.x_size_hw,
+            y_size_hw=self.y_size_hw,
+            half_upsidedown=self.half_upsidedown,
+        )
+        batch = {"x": out["x"], "x_labels": x_labels}
+        if self.targets:
+            batch["y"] = out["y"]
+        if self.paired:
+            batch["x2"] = out["x2"]
+            batch["x2_labels"] = x2_labels
+        return batch
+
+    @classmethod
+    def from_config(cls, config, catalog: CardCatalog, backgrounds: Backgrounds):
+        """Mirror of RanMtgEncDecDataset.from_hparams (encoder_train.py:235-249)."""
+        return cls(
+            catalog,
+            backgrounds,
+            default_batch_size=config.batch_size,
+            paired=bool(config.loss_contrastive or config.loss_set_contrastive),
+            targets=bool(config.loss_recon),
+            x_size_hw=config.x_size_hw,
+            y_size_hw=config.y_size_hw,
+            target_is_input_prob=config.target_is_input_prob,
+            similar_neg_prob=config.similar_neg_prob,
+            seed=config.seed,
+        )

@@ -1,0 +1,218 @@
+"""End-to-end fused frame program: detect → orient → rectify → embed → match.
+
+The reference runs this as four separate systems with host round-trips
+(mtgvision/server.py:133-205: ultralytics CoreML segmenter → shapely/cv2
+orientation (od_export.py:52-110) → CoreML encoder (encoder_export.py:85-110)
+→ HTTP Qdrant query (qdrant.py:76)). Here the whole per-frame compute is ONE
+jitted XLA program on padded detection slots:
+
+    frame (B,640,640,3)
+      → YoloSeg + fixed-shape NMS            (models/yolo.py)
+      → per-slot mask → oriented corners     (infer/orient.py, moment math)
+      → batched dewarp to (192,128)          (homography + bilinear warp)
+      → ConvNeXtV2 encoder → (D,768)         (models/convnextv2ae.py)
+      → cosine top-k vs HBM index            (ops/topk.py)
+
+Only payload lookup (host dict) happens outside XLA. Invalid slots carry
+valid=False through the whole chain (SURVEY.md §7: pad-to-max design).
+
+Deployment note: the pipeline runs as THREE chained jitted stages
+(detect → orient/rectify/embed → match) rather than one mega-program.
+Intermediate arrays never leave the device, so the only cost is ~3 dispatch
+round-trips; in exchange each stage's HLO stays small enough for
+size-limited compile services (the axon tunnel rejects the fused program
+with HTTP 413) and stages recompile independently.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mtgvision_tpu.infer.orient import extract_dewarped, orient_corners
+from mtgvision_tpu.models.convnextv2ae import ConvNeXtV2Encoder
+from mtgvision_tpu.models.yolo import YoloSeg, detect
+from mtgvision_tpu.ops.topk import cosine_topk
+
+
+class FramePipeline:
+    """Owns detector+encoder params and the jitted frame program.
+
+    API-parity facade for the reference serving stack: ``__call__`` plays the
+    role of CardSegmenter + per-instance dewarp + CoreMlEncoder.predict +
+    VectorStore query in one device trip.
+    """
+
+    def __init__(
+        self,
+        detector: YoloSeg,
+        det_variables,
+        encoder: ConvNeXtV2Encoder,
+        enc_variables,
+        store=None,  # VectorStore | None
+        max_det: int = 8,
+        crop_hw: tuple[int, int] = (192, 128),
+        top_k: int = 3,
+        score_thresh: float = 0.25,
+    ):
+        self.detector = detector
+        self.det_variables = det_variables
+        self.encoder = encoder
+        self.enc_variables = enc_variables
+        self.store = store
+        self.max_det = max_det
+        self.crop_hw = crop_hw
+        self.top_k = top_k
+        self.score_thresh = score_thresh
+        self._detect = jax.jit(self._detect_stage)
+        self._rectify_embed = jax.jit(self._rectify_embed_stage)
+        self._match = jax.jit(functools.partial(cosine_topk, k=top_k))
+
+    # -- stage 1: detect ----------------------------------------------------
+
+    def _detect_stage(self, det_vars, frames):
+        return detect(
+            det_vars,
+            self.detector,
+            frames,
+            max_det=self.max_det,
+            score_thresh=self.score_thresh,
+        )
+
+    # -- stage 2: orient → dewarp → embed -----------------------------------
+
+    def _rectify_embed_stage(self, enc_vars, frames, masks, valid):
+        b, h, w, _ = frames.shape
+
+        # masks are at 1/4 frame resolution — orient there, scale corners up
+        def per_frame(frame, frame_masks, frame_valid):
+            def per_det(mask, ok_det):
+                corners, ok = orient_corners(mask)
+                corners = corners * (h / mask.shape[0])
+                crop = extract_dewarped(frame, corners, out_hw=self.crop_hw)
+                return crop, corners, ok & ok_det
+
+            return jax.vmap(per_det)(frame_masks, frame_valid)
+
+        crops, corners, ok = jax.vmap(per_frame)(frames, masks > 0.5, valid)
+        flat_crops = crops.reshape(b * self.max_det, *self.crop_hw, 3)
+        z = self.encoder.apply(enc_vars, flat_crops)
+        return crops, corners, ok, z.reshape(b, self.max_det, -1)
+
+    # -- chained execution (arrays stay on device between stages) -----------
+
+    def run(self, frames, index_mat=None):
+        b = frames.shape[0]
+        boxes, scores, classes, masks, valid = self._detect(self.det_variables, frames)
+        crops, corners, ok, z = self._rectify_embed(
+            self.enc_variables, frames, masks, valid
+        )
+        match_scores = match_idx = None
+        if index_mat is not None:
+            ms, mi = self._match(z.reshape(b * self.max_det, -1), index_mat)
+            match_scores = ms.reshape(b, self.max_det, self.top_k)
+            match_idx = mi.reshape(b, self.max_det, self.top_k)
+        return {
+            "boxes": boxes,
+            "det_scores": scores,
+            "classes": classes,
+            "corners": corners,
+            "valid": ok,
+            "crops": crops,
+            "z": z,
+            "match_scores": match_scores,
+            "match_idx": match_idx,
+        }
+
+    def __call__(self, frames: jnp.ndarray) -> dict:
+        """frames (B,H,W,3) float [0,1] → padded detection dict (device arrays)."""
+        mat = self.store._matrix() if (self.store is not None and len(self.store)) else None
+        return self.run(frames, mat)
+
+    def detect_frame(self, frame: np.ndarray) -> list[dict]:
+        """Host-facing single-frame API: list of detections with resolved
+        payloads — the shape served over the websocket (server.py:283-297)."""
+        out = self(jnp.asarray(frame)[None])
+        dets = []
+        valid = np.asarray(out["valid"][0])
+        for i in range(self.max_det):
+            if not valid[i]:
+                continue
+            det = {
+                "box": np.asarray(out["boxes"][0, i]),
+                "score": float(out["det_scores"][0, i]),
+                "corners": np.asarray(out["corners"][0, i]),
+                "crop": np.asarray(out["crops"][0, i]),
+                "z": np.asarray(out["z"][0, i]),
+                "matches": [],
+            }
+            if out["match_idx"] is not None and self.store is not None:
+                for k in range(self.top_k):
+                    ridx = int(out["match_idx"][0, i, k])
+                    if ridx < len(self.store):
+                        pid = self.store._ids[ridx]
+                        det["matches"].append(
+                            {
+                                "id": pid,
+                                "score": float(out["match_scores"][0, i, k]),
+                                "payload": self.store._payloads.get(pid),
+                            }
+                        )
+            dets.append(det)
+        return dets
+
+
+# ---------------------------------------------------------------------------
+# benchmark harness (bench.py hook)
+# ---------------------------------------------------------------------------
+
+
+def build_e2e_pipeline(
+    batch: int = 8,
+    frame_hw: tuple[int, int] = (640, 640),
+    n_index: int = 60_000,
+    det_size: str = "s",
+    enc_size: str = "nano",
+    max_det: int = 8,
+    seed: int = 0,
+):
+    """Random-weight pipeline at deployment sizes (YOLO11-s + ConvNeXtV2 nano,
+    od_train.py:138-151 / encoder_export.py:23-26) for throughput benchmarks."""
+    from mtgvision_tpu.models.convnextv2ae import AE_SIZES
+
+    rng = jax.random.PRNGKey(seed)
+    det = YoloSeg(num_classes=1, size=det_size, dtype=jnp.bfloat16)
+    det_vars = det.init(rng, jnp.zeros((1, *frame_hw, 3)), False)
+    enc = ConvNeXtV2Encoder(
+        image_hw=(192, 128), z_size=768, head_type="conv+linear",
+        dtype=jnp.bfloat16, **AE_SIZES[enc_size],
+    )
+    enc_vars = {"params": enc.init(rng, jnp.zeros((1, 192, 128, 3)))["params"]}
+
+    pipe = FramePipeline(det, det_vars, enc, enc_vars, store=None, max_det=max_det)
+    db = jax.random.normal(jax.random.PRNGKey(1), (n_index, 768), jnp.float32)
+    db = db / jnp.linalg.norm(db, axis=1, keepdims=True)
+
+    def run(frames):
+        out = pipe.run(frames, db)
+        return out["match_idx"], out["valid"]
+
+    frames = jax.random.uniform(jax.random.PRNGKey(2), (batch, *frame_hw, 3))
+    return run, frames
+
+
+def bench_e2e(batch: int = 8, iters: int = 20) -> float:
+    """Frames/s/chip for the full detect→orient→rectify→embed→match program."""
+    run, frames = build_e2e_pipeline(batch=batch)
+    jax.block_until_ready(run(frames))  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run(frames)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt

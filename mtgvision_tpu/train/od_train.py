@@ -1,0 +1,316 @@
+"""Detector training: pooled scene batches + jitted YOLO-seg train step.
+
+Replaces mtgvision/od_train.py (a thin ultralytics wrapper: model.train on a
+pre-written YOLO dataset) with an in-repo TPU loop:
+
+- scene batches are assembled ON DEVICE from HBM-resident card/background
+  pools (data/scene_gen.py compositor); the host only runs the cheap
+  placement rejection-sampler and ships (3,3) matrices + indices,
+- ground truth is computed analytically from the placement homographies — the
+  notched seg polygon and its mask are rendered on device by inverse-mapping
+  pixels into the card frame (two half-plane box tests), no rasterization,
+- the loss is the YOLO-seg objective (train/od_losses.py), jitted with
+  data-parallel sharding over a mesh like the encoder trainer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mtgvision_tpu.data.catalog import Backgrounds, CardCatalog
+from mtgvision_tpu.data.encoder_gen import DeviceBgPool, DeviceCardPool
+from mtgvision_tpu.data.scene_gen import (
+    BG_HEAVY,
+    BG_LIGHT,
+    CARD_AUG,
+    MAX_CARDS,
+    apply_m,
+    card_bbox,
+    cover_rotate_matrix,
+    place_card,
+    seg_notch_polygon,
+)
+from mtgvision_tpu.models.yolo import YoloSeg
+from mtgvision_tpu.ops import image as I
+from mtgvision_tpu.ops import warp as W
+from mtgvision_tpu.train.od_losses import detection_loss
+
+
+@dataclasses.dataclass
+class DetectorConfig:
+    """Mirror of the active od_train args (od_train.py:73-151)."""
+
+    seed: int = 42
+    model_size: str = "s"  # yolo11s (od_train.py:139)
+    kind: str = "seg"
+    img_size: int = 640
+    batch_size: int = 16
+    max_steps: int = 10_000
+    learning_rate: float = 1e-3
+    weight_decay: float = 5e-4
+    warmup_steps: int = 500
+    precision: str = "bf16"
+    pool_size: int = 1024
+    bg_pool_size: int = 128
+    ckpt_dir: str = "checkpoints_od"
+    n_devices: int = 0
+
+    @property
+    def num_classes(self) -> int:
+        return 1 if self.kind == "seg" else 3
+
+
+# ---------------------------------------------------------------------------
+# device scene assembly + analytic GT
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw",))
+def build_scene_batch(
+    key,
+    card_pool_u8: jnp.ndarray,  # (P, Hc, Wc, 3) uint8
+    bg_pool_u8: jnp.ndarray,  # (Q, Hb, Wb, 3) uint8
+    card_idx: jnp.ndarray,  # (B, K) int32
+    card_ms: jnp.ndarray,  # (B, K, 3, 3)
+    valid: jnp.ndarray,  # (B, K) f32
+    bg_idx: jnp.ndarray,  # (B,) int32
+    bg_ms: jnp.ndarray,  # (B, 3, 3)
+    out_hw: tuple[int, int] = (640, 640),
+):
+    """(B,H,W,3) scenes + (B,K,4) gt xyxy + (B,K,Hp,Wp) gt notch masks.
+
+    Everything from pools + matrices; proto-res masks come from exact
+    inverse-homography box tests (card rect minus bottom notch,
+    od_datasets.py:258-268 geometry).
+    """
+    b, k = card_idx.shape
+    hc, wc = card_pool_u8.shape[1:3]
+    h, w = out_hw
+    hp, wp = h // 4, w // 4
+
+    def one_scene(kkey, cidx, cms, val, bidx, bm):
+        k1, k2, k3, k4 = jax.random.split(kkey, 4)
+        bg = bg_pool_u8[bidx].astype(jnp.float32) / 255.0
+        bg = W.warp_perspective(bg, bm, out_hw)
+        bg = BG_LIGHT(k1, bg)
+        cards = card_pool_u8[cidx].astype(jnp.float32) / 255.0  # (K,Hc,Wc,3)
+        cards = jax.vmap(CARD_AUG)(jax.random.split(k2, k), cards)
+        mask = I.round_rect_mask((hc, wc), radius_ratio=0.046)
+        rgba = jnp.concatenate(
+            [cards, jnp.broadcast_to(mask[None, :, :, None], (k, hc, wc, 1))], -1
+        )
+        canvas = bg
+        for i in range(k - 1, -1, -1):
+            warped = W.warp_perspective(rgba[i], cms[i], out_hw)
+            a = warped[..., 3:4] * val[i]
+            canvas = canvas * (1.0 - a) + warped[..., :3] * a
+        return BG_HEAVY(k4, jnp.clip(canvas, 0.0, 1.0))
+
+    keys = jax.random.split(key, b)
+    images = jax.vmap(one_scene)(keys, card_idx, card_ms, valid, bg_idx, bg_ms)
+
+    # GT boxes: warped card-rect extents
+    rect = jnp.asarray(
+        [[0.0, 0.0], [wc, 0.0], [wc, hc], [0.0, hc]], jnp.float32
+    )
+    warped_pts = W.apply_transform_points(card_ms, rect)  # (B,K,4,2)
+    gt_x1 = jnp.min(warped_pts[..., 0], -1)
+    gt_y1 = jnp.min(warped_pts[..., 1], -1)
+    gt_x2 = jnp.max(warped_pts[..., 0], -1)
+    gt_y2 = jnp.max(warped_pts[..., 1], -1)
+    gt_boxes = jnp.stack(
+        [
+            jnp.clip(gt_x1, 0, w), jnp.clip(gt_y1, 0, h),
+            jnp.clip(gt_x2, 0, w), jnp.clip(gt_y2, 0, h),
+        ],
+        -1,
+    )
+
+    # GT notch masks at proto res: pixel → card frame via M⁻¹ → box tests
+    minv = jnp.linalg.inv(card_ms)  # (B, K, 3, 3)
+    yy = (jnp.arange(hp, dtype=jnp.float32) + 0.5) * 4.0
+    xx = (jnp.arange(wp, dtype=jnp.float32) + 0.5) * 4.0
+    gx, gy = jnp.meshgrid(xx, yy)
+    pix = jnp.stack([gx, gy], -1).reshape(-1, 2)  # (Hp·Wp, 2)
+
+    def mask_for(minv_one):
+        q = W.apply_transform_points(minv_one, pix)  # (Hp·Wp, 2) card coords
+        qx, qy = q[:, 0], q[:, 1]
+        in_rect = (qx >= 0) & (qx <= wc) & (qy >= 0) & (qy <= hc)
+        in_notch = (qx >= 0.4 * wc) & (qx <= 0.6 * wc) & (qy >= 0.5 * hc)
+        return (in_rect & ~in_notch).astype(jnp.float32).reshape(hp, wp)
+
+    gt_masks = jax.vmap(jax.vmap(mask_for))(minv)
+    gt_masks = gt_masks * valid[..., None, None]
+    return images, gt_boxes, gt_masks
+
+
+class DetectorDataset:
+    """Host placement + device assembly; yields full train batches."""
+
+    def __init__(
+        self,
+        catalog: CardCatalog,
+        backgrounds: Backgrounds,
+        config: DetectorConfig,
+        num_cards_min: int = 1,
+        num_cards_max: int = MAX_CARDS,
+    ):
+        self.catalog = catalog
+        self.config = config
+        self.rng = np.random.default_rng(config.seed)
+        self.key = jax.random.PRNGKey(config.seed)
+        self.card_pool = DeviceCardPool(catalog, config.pool_size, self.rng)
+        self.bg_pool = DeviceBgPool(backgrounds, config.bg_pool_size, self.rng)
+        self.bg_hw_native = self.bg_pool.images.shape[1:3]
+        self.num_cards_min = num_cards_min
+        self.num_cards_max = min(num_cards_max, MAX_CARDS)
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def random_batch(self):
+        cfg = self.config
+        b = cfg.batch_size
+        out_hw = (cfg.img_size, cfg.img_size)
+        card_hw = self.catalog.card_hw
+        k = MAX_CARDS
+
+        card_idx = np.zeros((b, k), np.int32)
+        ms = np.tile(np.eye(3, dtype=np.float32), (b, k, 1, 1))
+        valid = np.zeros((b, k), np.float32)
+        bg_idx = self.rng.integers(0, self.bg_pool.pool_size, b).astype(np.int32)
+        bg_ms = np.stack(
+            [
+                cover_rotate_matrix(self.rng, self.bg_hw_native, out_hw).astype(np.float32)
+                for _ in range(b)
+            ]
+        )
+        for bi in range(b):
+            polys = []
+            n_cards = int(self.rng.integers(self.num_cards_min, self.num_cards_max + 1))
+            slot = 0
+            for _ in range(n_cards):
+                m = place_card(self.rng, card_hw, out_hw, polys)
+                if m is None:
+                    continue
+                card_idx[bi, slot] = self.rng.integers(0, self.card_pool.pool_size)
+                ms[bi, slot] = m.astype(np.float32)
+                valid[bi, slot] = 1.0
+                polys.append(apply_m(card_bbox(card_hw), m))
+                slot += 1
+
+        images, gt_boxes, gt_masks = build_scene_batch(
+            self._next_key(),
+            self.card_pool.images,
+            self.bg_pool.images,
+            jnp.asarray(card_idx),
+            jnp.asarray(ms),
+            jnp.asarray(valid),
+            jnp.asarray(bg_idx),
+            jnp.asarray(bg_ms),
+            out_hw=out_hw,
+        )
+        return {
+            "images": images,
+            "gt_boxes": gt_boxes,
+            "gt_labels": jnp.zeros((b, k), jnp.int32),
+            "gt_valid": jnp.asarray(valid) > 0.5,
+            "gt_masks": gt_masks,
+        }
+
+
+# ---------------------------------------------------------------------------
+# train state + step
+# ---------------------------------------------------------------------------
+
+
+class DetTrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    model: YoloSeg = struct.field(pytree_node=False)
+
+
+def create_det_state(config: DetectorConfig, rng: jax.Array) -> DetTrainState:
+    dtype = jnp.bfloat16 if config.precision == "bf16" else jnp.float32
+    model = YoloSeg(num_classes=config.num_classes, size=config.model_size, dtype=dtype)
+    variables = model.init(
+        rng, jnp.zeros((1, config.img_size, config.img_size, 3)), True
+    )
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, config.learning_rate, config.warmup_steps, config.max_steps
+    )
+    tx = optax.chain(
+        optax.clip_by_global_norm(10.0),
+        optax.add_decayed_weights(config.weight_decay),
+        optax.sgd(sched, momentum=0.937, nesterov=True),
+    )
+    return DetTrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        tx=tx,
+        model=model,
+    )
+
+
+def det_train_step(state: DetTrainState, batch, config: DetectorConfig):
+    img_hw = (config.img_size, config.img_size)
+
+    def loss_fn(params):
+        out, mutated = state.model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch["images"],
+            True,
+            mutable=["batch_stats"],
+        )
+        loss, logs = detection_loss(
+            out,
+            batch["gt_boxes"],
+            batch["gt_labels"],
+            batch["gt_valid"],
+            batch["gt_masks"],
+            img_hw,
+            num_classes=config.num_classes,
+        )
+        return loss, (logs, mutated["batch_stats"])
+
+    (loss, (logs, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params
+    )
+    updates, opt_state = state.tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return (
+        state.replace(
+            step=state.step + 1, params=params, batch_stats=new_bs, opt_state=opt_state
+        ),
+        logs,
+    )
+
+
+def make_det_train_step(config: DetectorConfig, mesh: Mesh | None = None):
+    step = partial(det_train_step, config=config)
+    if mesh is None:
+        return jax.jit(step)
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(mesh.axis_names[0]))
+    batch_sh = {
+        "images": shard, "gt_boxes": shard, "gt_labels": shard,
+        "gt_valid": shard, "gt_masks": shard,
+    }
+    return jax.jit(step, in_shardings=(repl, batch_sh), out_shardings=(repl, repl))

@@ -61,6 +61,40 @@ class ApplyChoice(Applicator):
         return lax.switch(idx, self.fns, ka, img)
 
 
+class Maybe(Applicator):
+    """Apply ``fn`` with probability ``p`` — albumentations' per-transform
+    ``p=`` (od_datasets.py:420-512 pipelines)."""
+
+    def __init__(self, p: float, fn: AugFn):
+        super().__init__(fn)
+        self.p = p
+
+    def __call__(self, key, img):
+        kb, ka = jax.random.split(key)
+        do = jax.random.bernoulli(kb, self.p)
+        return lax.cond(do, self.fns[0], _identity, ka, img)
+
+
+class ApplySome(Applicator):
+    """Apply ``n`` randomly-chosen distinct augs in random order — the
+    reference's ``random_order(…, n=k)`` albumentations helper
+    (od_datasets.py:420-445)."""
+
+    def __init__(self, n: int, *fns: Optional[AugFn]):
+        super().__init__(*fns)
+        self.n = min(n, len(self.fns))
+
+    def __call__(self, key, img):
+        kp, ka = jax.random.split(key)
+        perm = jax.random.permutation(kp, len(self.fns))
+        keys = jax.random.split(ka, self.n)
+
+        def body(i, im):
+            return lax.switch(perm[i], self.fns, keys[i], im)
+
+        return lax.fori_loop(0, self.n, body, img)
+
+
 class ApplyShuffled(Applicator):
     def __call__(self, key, img):
         n = len(self.fns)

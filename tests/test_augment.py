@@ -1,0 +1,102 @@
+"""Augmentation kernels + combinator tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mtgvision_tpu.ops import augment as A
+from mtgvision_tpu.utils.random import ApplyChoice, ApplyOrdered, ApplyShuffled
+
+ALL_AUGS = [
+    A.flip,
+    A.upsidedown,
+    A.rotate_bounded,
+    A.warp,
+    A.warp_inv,
+    A.affine_transform,
+    A.perspective_transform,
+    A.noise,
+    A.blur,
+    A.sharpen,
+    A.downscale_upscale,
+    A.gaussian_noise,
+    A.salt_pepper_noise,
+    A.tint,
+    A.fade_white,
+    A.fade_black,
+    A.brightness_contrast,
+    A.rgb_jitter_add,
+    A.rgb_jitter_mul,
+    A.cutout,
+    A.random_erasing,
+]
+
+
+@pytest.mark.parametrize("fn", ALL_AUGS, ids=lambda f: f.__name__)
+def test_aug_shape_range_determinism(fn, key, rng):
+    img = jnp.asarray(rng.random((48, 32, 3), np.float32))
+    out = fn(key, img)
+    assert out.shape == img.shape
+    assert np.isfinite(np.asarray(out)).all()
+    assert float(out.min()) >= -1e-6 and float(out.max()) <= 1.0 + 1e-6
+    assert np.allclose(out, fn(key, img))  # deterministic per key
+
+
+@pytest.mark.parametrize("fn", ALL_AUGS, ids=lambda f: f.__name__)
+def test_aug_jit_vmap(fn, key, rng):
+    imgs = jnp.asarray(rng.random((3, 48, 32, 3), np.float32))
+    keys = jax.random.split(key, 3)
+    out = jax.jit(jax.vmap(fn))(keys, imgs)
+    assert out.shape == imgs.shape
+    # different keys → different outputs (except none should be identical for
+    # these stochastic augs on random content)
+    if fn is not A.upsidedown and fn is not A.sharpen and fn is not A.blur:
+        assert not np.allclose(out[0], out[1])
+
+
+def test_rgba_alpha_preserved_photometric(key, rng):
+    img = jnp.asarray(rng.random((32, 32, 4), np.float32))
+    for fn in (A.tint, A.fade_white, A.fade_black, A.rgb_jitter_mul, A.noise):
+        out = fn(key, img)
+        assert np.allclose(out[..., 3], img[..., 3]), fn.__name__
+
+
+def test_upsidedown():
+    img = jnp.arange(12.0).reshape(2, 2, 3) / 12.0
+    out = A.upsidedown(jax.random.PRNGKey(0), img)
+    assert np.allclose(out, np.asarray(img)[::-1, ::-1])
+
+
+def test_cutout_darkens(key, rng):
+    img = jnp.ones((64, 64, 3), jnp.float32)
+    out = A.cutout(key, img)
+    assert float(out.mean()) < 1.0
+    assert float(out.min()) == 0.0
+
+
+def test_random_erasing_erases(key, rng):
+    img = jnp.full((64, 64, 3), 0.5, jnp.float32)
+    out = A.random_erasing(key, img)
+    changed = np.mean(~np.isclose(np.asarray(out), 0.5))
+    assert 0.0 < changed  # some block got filled
+
+
+def test_combinators_jit(key, rng):
+    img = jnp.asarray(rng.random((32, 32, 3), np.float32))
+    pipe = ApplyShuffled(
+        ApplyOrdered(A.flip, A.tint),
+        ApplyChoice(A.fade_black, A.fade_white, None),
+        ApplyChoice(A.blur, None),
+    )
+    out = jax.jit(pipe.__call__)(key, img)
+    assert out.shape == img.shape
+    assert np.allclose(out, pipe(key, img))
+    k2 = jax.random.PRNGKey(99)
+    assert not np.allclose(out, pipe(k2, img))
+
+
+def test_choice_none_identity(rng):
+    img = jnp.asarray(rng.random((8, 8, 3), np.float32))
+    pipe = ApplyChoice(None)
+    assert np.allclose(pipe(jax.random.PRNGKey(0), img), img)

@@ -1,0 +1,137 @@
+"""Detector loss + training tests (tiny shapes, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mtgvision_tpu.data.catalog import ProceduralBackgrounds, ProceduralCatalog
+from mtgvision_tpu.models.yolo import YoloSeg
+from mtgvision_tpu.train.od_losses import (
+    anchor_points,
+    detection_loss,
+    dfl_loss,
+    pairwise_ciou,
+    task_aligned_assign,
+)
+from mtgvision_tpu.train.od_train import (
+    DetectorConfig,
+    DetectorDataset,
+    create_det_state,
+    make_det_train_step,
+)
+
+IMG = 64  # tiny frames for CPU
+
+
+def test_anchor_points():
+    pts, strides = anchor_points((64, 64))
+    assert pts.shape == (8 * 8 + 4 * 4 + 2 * 2, 2)
+    assert float(pts[0, 0]) == 4.0  # first P3 anchor center
+    assert float(strides[0]) == 8.0 and float(strides[-1]) == 32.0
+
+
+def test_ciou_identity_and_disjoint():
+    a = jnp.asarray([10.0, 10, 20, 20])
+    assert float(pairwise_ciou(a, a)) == pytest.approx(1.0, abs=1e-5)
+    b = jnp.asarray([100.0, 100, 120, 120])
+    assert float(pairwise_ciou(a, b)) < 0.0  # disjoint → negative CIoU
+
+
+def test_dfl_loss_peak():
+    # distribution peaked exactly at the target bin → low loss
+    logits = jnp.full((1, 4, 16), -10.0).at[:, :, 5].set(10.0)
+    lo = float(dfl_loss(logits, jnp.full((1, 4), 5.0)).mean())
+    hi = float(dfl_loss(logits, jnp.full((1, 4), 10.0)).mean())
+    assert lo < 0.01 < hi
+
+
+def test_task_aligned_assign_picks_matching_anchor():
+    n, m = 84, 2
+    anchors, _ = anchor_points((IMG, IMG))
+    gt_boxes = jnp.asarray([[[4.0, 4, 28, 28], [40.0, 40, 60, 60]]])
+    gt_labels = jnp.zeros((1, m), jnp.int32)
+    gt_valid = jnp.asarray([[True, True]])
+    # pred boxes == anchor-centered small boxes; score high inside gt0 region
+    pred_boxes = jnp.concatenate(
+        [anchors - 6.0, anchors + 6.0], -1
+    )[None]
+    scores = jnp.full((1, n, 1), 0.5)
+    assigned, fg, ts = task_aligned_assign(
+        scores, pred_boxes, anchors, gt_boxes, gt_labels, gt_valid
+    )
+    fg = np.asarray(fg[0])
+    assigned = np.asarray(assigned[0])
+    assert fg.sum() > 0
+    # anchors inside gt0 assigned to gt 0, inside gt1 to gt 1
+    a = np.asarray(anchors)
+    for i in np.where(fg)[0]:
+        gi = assigned[i]
+        gb = np.asarray(gt_boxes[0, gi])
+        assert gb[0] < a[i, 0] < gb[2] and gb[1] < a[i, 1] < gb[3]
+
+
+@pytest.fixture(scope="module")
+def det_setup():
+    config = DetectorConfig(
+        model_size="n", img_size=IMG, batch_size=2, pool_size=8, bg_pool_size=4,
+        precision="fp32", max_steps=100, warmup_steps=0, learning_rate=5e-3,
+    )
+    cat = ProceduralCatalog(n_cards=8, card_hw=(48, 32))
+    ds = DetectorDataset(
+        cat, ProceduralBackgrounds(bg_hw=(64, 64)), config, num_cards_max=2
+    )
+    return config, ds
+
+
+def test_detector_dataset_batch(det_setup):
+    config, ds = det_setup
+    b = ds.random_batch()
+    assert b["images"].shape == (2, IMG, IMG, 3)
+    assert b["gt_boxes"].shape == (2, 10, 4)
+    assert b["gt_masks"].shape == (2, 10, IMG // 4, IMG // 4)
+    assert np.isfinite(np.asarray(b["images"])).all()
+    # valid gts have positive area and nonzero masks
+    valid = np.asarray(b["gt_valid"])
+    boxes = np.asarray(b["gt_boxes"])
+    masks = np.asarray(b["gt_masks"])
+    for bi in range(2):
+        for k in np.where(valid[bi])[0]:
+            assert boxes[bi, k, 2] > boxes[bi, k, 0]
+            assert masks[bi, k].sum() > 0
+
+
+def test_det_train_step_runs_and_improves(det_setup):
+    config, ds = det_setup
+    state = create_det_state(config, jax.random.PRNGKey(0))
+    step = make_det_train_step(config)
+    batch = ds.random_batch()
+    losses = []
+    for _ in range(8):
+        state, logs = step(state, batch)
+        losses.append(float(logs["loss"]))
+    assert all(np.isfinite(losses))
+    # same batch, 8 SGD steps → average loss falls
+    assert np.mean(losses[-2:]) < np.mean(losses[:2])
+    assert {"loss_box", "loss_cls", "loss_dfl", "loss_mask"} <= set(logs)
+
+
+def test_det_train_step_dp_mesh(det_setup, mesh8):
+    config, ds = det_setup
+    state = create_det_state(config, jax.random.PRNGKey(0))
+    state = jax.device_put(
+        state, jax.sharding.NamedSharding(mesh8, jax.sharding.PartitionSpec())
+    )
+    step = make_det_train_step(config, mesh8)
+    from mtgvision_tpu.parallel.mesh import shard_batch
+
+    # batch of 8 for the 8-device mesh
+    cfg8 = DetectorConfig(
+        model_size="n", img_size=IMG, batch_size=8, pool_size=8, bg_pool_size=4,
+        precision="fp32",
+    )
+    cat = ProceduralCatalog(n_cards=8, card_hw=(48, 32))
+    ds8 = DetectorDataset(cat, ProceduralBackgrounds(bg_hw=(64, 64)), cfg8, num_cards_max=2)
+    batch = shard_batch(mesh8, ds8.random_batch())
+    state, logs = step(state, batch)
+    assert np.isfinite(float(logs["loss"]))

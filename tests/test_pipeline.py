@@ -1,0 +1,61 @@
+"""End-to-end frame pipeline test (tiny sizes, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mtgvision_tpu.index import VectorPoint, VectorStore
+from mtgvision_tpu.infer.pipeline import FramePipeline
+from mtgvision_tpu.models.convnextv2ae import ConvNeXtV2Encoder
+from mtgvision_tpu.models.yolo import YoloSeg
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    rng = jax.random.PRNGKey(0)
+    det = YoloSeg(num_classes=1, size="n")
+    det_vars = det.init(rng, jnp.zeros((1, 128, 128, 3)), False)
+    enc = ConvNeXtV2Encoder(
+        image_hw=(96, 64), z_size=96, head_type="conv+linear",
+        depths=(1, 1, 1, 1), dims=(8, 16, 24, 32),
+    )
+    enc_vars = {"params": enc.init(rng, jnp.zeros((1, 96, 64, 3)))["params"]}
+    store = VectorStore(dim=96)
+    vecs = np.random.default_rng(0).standard_normal((50, 96)).astype(np.float32)
+    store.save_points(
+        [VectorPoint(id=f"c{i}", vector=v, payload={"i": i}) for i, v in enumerate(vecs)]
+    )
+    return FramePipeline(
+        det, det_vars, enc, enc_vars, store=store, max_det=4, crop_hw=(96, 64), top_k=3
+    )
+
+
+def test_frame_program_shapes(pipeline):
+    frames = jnp.asarray(np.random.default_rng(0).random((2, 128, 128, 3), np.float32))
+    out = pipeline(frames)
+    assert out["boxes"].shape == (2, 4, 4)
+    assert out["corners"].shape == (2, 4, 4, 2)
+    assert out["crops"].shape == (2, 4, 96, 64, 3)
+    assert out["z"].shape == (2, 4, 96)
+    assert out["match_idx"].shape == (2, 4, 3)
+    assert np.isfinite(np.asarray(out["z"])).all()
+
+
+def test_detect_frame_host_api(pipeline):
+    frame = np.random.default_rng(1).random((128, 128, 3)).astype(np.float32)
+    dets = pipeline.detect_frame(frame)
+    # untrained detector → no valid detections, but the API returns cleanly
+    assert isinstance(dets, list)
+    for d in dets:
+        assert set(d) >= {"box", "score", "corners", "crop", "z", "matches"}
+
+
+def test_bench_harness_builds():
+    from mtgvision_tpu.infer.pipeline import build_e2e_pipeline
+
+    run, frames = build_e2e_pipeline(
+        batch=1, frame_hw=(128, 128), n_index=100, det_size="n", enc_size="atto", max_det=2
+    )
+    idx, valid = run(frames)
+    assert idx.shape == (1, 2, 3)

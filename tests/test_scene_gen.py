@@ -1,0 +1,175 @@
+"""Scene generator + polygon util tests (statistical placement validity,
+label ranges — SURVEY.md §4 rebuild strategy)."""
+
+import numpy as np
+import pytest
+
+from mtgvision_tpu.data.catalog import ProceduralBackgrounds, ProceduralCatalog
+from mtgvision_tpu.data.scene_gen import (
+    SceneGenerator,
+    card_bbox,
+    corner_jitter,
+    cover_rotate_matrix,
+    create_yolo_dataset,
+    apply_m,
+    obb_keypoints,
+    place_card,
+    seg_notch_polygon,
+)
+from mtgvision_tpu.ops.polygon import (
+    clip_poly,
+    convex_hull,
+    poly_area,
+    poly_contains,
+    poly_intersection_area,
+)
+
+
+# -- polygon math -----------------------------------------------------------
+
+
+def test_poly_area_square():
+    sq = np.asarray([(0, 0), (10, 0), (10, 10), (0, 10)], float)
+    assert poly_area(sq) == 100.0
+    assert poly_area(sq[::-1]) == 100.0  # orientation-independent
+
+
+def test_clip_poly_overlap():
+    a = np.asarray([(0, 0), (10, 0), (10, 10), (0, 10)], float)
+    b = np.asarray([(5, 5), (15, 5), (15, 15), (5, 15)], float)
+    inter = clip_poly(a, b)
+    assert np.isclose(poly_area(inter), 25.0)
+    assert np.isclose(poly_intersection_area(a, b), 25.0)
+
+
+def test_clip_poly_disjoint():
+    a = np.asarray([(0, 0), (1, 0), (1, 1), (0, 1)], float)
+    b = np.asarray([(5, 5), (6, 5), (6, 6), (5, 6)], float)
+    assert poly_intersection_area(a, b) == 0.0
+
+
+def test_contains():
+    outer = np.asarray([(0, 0), (10, 0), (10, 10), (0, 10)], float)
+    inner = np.asarray([(2, 2), (4, 2), (4, 4), (2, 4)], float)
+    assert poly_contains(outer, inner)
+    assert not poly_contains(inner, outer)
+
+
+def test_convex_hull():
+    pts = np.asarray([(0, 0), (10, 0), (10, 10), (0, 10), (5, 5)], float)
+    hull = convex_hull(pts)
+    assert len(hull) == 4
+    assert np.isclose(poly_area(hull), 100.0)
+
+
+# -- card geometry ----------------------------------------------------------
+
+
+def test_seg_notch_polygon():
+    poly = seg_notch_polygon((100, 70))
+    assert poly.shape == (8, 2)
+    # area = full rect minus notch (0.2w × 0.5h)
+    assert np.isclose(poly_area(poly), 70 * 100 - (0.2 * 70) * (0.5 * 100))
+
+
+def test_obb_keypoints():
+    kps = obb_keypoints((100, 70))
+    assert kps.shape == (3, 4, 2)
+    # top box upper half, bottom box lower half
+    assert kps[1][:, 1].max() <= 51
+    assert kps[2][:, 1].min() >= 49
+
+
+def test_corner_jitter_bounded():
+    rng = np.random.default_rng(0)
+    pts = card_bbox((100, 70))
+    out = corner_jitter(rng, pts, 0.3)
+    center = pts.mean(0)
+    r0 = np.linalg.norm(pts - center, axis=1)
+    r1 = np.linalg.norm(out - center, axis=1)
+    assert ((r1 >= 0.7 * r0 - 1e-9) & (r1 <= 1.3 * r0 + 1e-9)).all()
+
+
+# -- placement (statistical validity) ---------------------------------------
+
+
+def test_place_card_valid_placements():
+    rng = np.random.default_rng(0)
+    bg_hw = (640, 640)
+    frame = np.asarray([(0, 0), (640, 0), (640, 640), (0, 640)], float)
+    placed = []
+    n_ok = 0
+    for _ in range(20):
+        m = place_card(rng, (448, 320), bg_hw, placed, max_attempts=10)
+        if m is None:
+            continue
+        quad = apply_m(card_bbox((448, 320)), m)
+        qa = poly_area(quad)
+        # fully visible (min_visible_edge=1.0 default)
+        assert poly_intersection_area(quad, frame) / qa > 0.99
+        # pairwise overlap ≤ 50% of either card
+        for p in placed:
+            inter = poly_intersection_area(quad, convex_hull(p))
+            assert inter / qa <= 0.5 + 1e-6
+            assert inter / poly_area(p) <= 0.5 + 1e-6
+        placed.append(quad)
+        n_ok += 1
+    assert n_ok >= 3  # rejection sampling succeeds a reasonable fraction
+
+
+def test_cover_rotate_matrix_covers():
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        m = cover_rotate_matrix(rng, (256, 256), (640, 640))
+        # the warped input quad must contain the output frame
+        quad = apply_m(np.asarray([(0, 0), (256, 0), (256, 256), (0, 256)], float), m)
+        frame = np.asarray([(0, 0), (640, 0), (640, 640), (0, 640)], float)
+        assert poly_contains(convex_hull(quad), frame, tol=1e-3)
+
+
+# -- full generator ---------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def gen():
+    cat = ProceduralCatalog(n_cards=8, card_hw=(112, 80))
+    return SceneGenerator(
+        cat, ProceduralBackgrounds(bg_hw=(96, 96)), bg_size_hw=(160, 160),
+        num_cards_min=1, num_cards_max=3, kind="seg", seed=0,
+    )
+
+
+def test_scene_sample(gen):
+    s = gen.random()
+    assert s["image"].shape == (160, 160, 3)
+    assert np.isfinite(s["image"]).all()
+    assert 0 <= s["image"].min() and s["image"].max() <= 1
+    assert len(s["keypoints"]) == len(s["keypoints_labels"])
+    for pts in s["keypoints"]:
+        assert pts.shape == (8, 2)  # seg notch polygon
+
+
+def test_scene_obb_labels():
+    cat = ProceduralCatalog(n_cards=8, card_hw=(112, 80))
+    g = SceneGenerator(
+        cat, ProceduralBackgrounds(bg_hw=(96, 96)), bg_size_hw=(160, 160),
+        num_cards_min=1, num_cards_max=2, kind="obb", seed=3,
+    )
+    s = g.random()
+    if len(s["keypoints"]):
+        assert len(s["keypoints"]) % 3 == 0  # card/top/bottom triplets
+        assert set(np.unique(s["keypoints_labels"])) <= {0, 1, 2}
+
+
+def test_yolo_dataset_writer(gen, tmp_path):
+    yaml_path = create_yolo_dataset(gen, tmp_path / "ds", num_train=2, num_val=1)
+    assert yaml_path.exists()
+    imgs = list((tmp_path / "ds" / "images" / "train").glob("*.png"))
+    lbls = list((tmp_path / "ds" / "labels" / "train").glob("*.txt"))
+    assert len(imgs) == 2 and len(lbls) == 2
+    for line in lbls[0].read_text().splitlines():
+        vals = line.split()
+        assert vals[0] == "0"
+        coords = np.asarray([float(v) for v in vals[1:]])
+        assert len(coords) == 16  # 8 points × 2
+        assert (coords >= 0).all() and (coords <= 1).all()
