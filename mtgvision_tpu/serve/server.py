@@ -1,0 +1,224 @@
+"""Live websocket serving — FastAPI-server parity on aiohttp.
+
+Rebuild of mtgvision/server.py:
+- ws ``/detect`` (:259-302): receive JPEG bytes → decode RGB → TrackerCtx
+  update → JSON reply {detections, server_process_time,
+  server_process_period, server_recv_im_bytes, server_send_im_bytes},
+- ``TrackerCtx`` (:85-205): tracker over oriented card quads, per-track
+  throttled heavy path every ``update_wait_sec=0.5`` (embed → EWMA z w=0.1 →
+  top-3 index query), JPEG q50 base64 crop thumbnails (:222-225),
+- sha256-seeded track colors (:213-219),
+- ``TrackedData.to_dict`` wire format (:59-82) — byte-compatible with the
+  reference web client (www/src/types.ts:262-306),
+- static mount of a built web client dir (:306-310).
+
+FastAPI isn't in this image; aiohttp provides the identical ws + static
+surface. Per-frame compute runs through the staged FramePipeline — detect +
+orient + dewarp happen on-device in one dispatch, instead of the reference's
+CoreML → shapely → CoreML → HTTP chain.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import json
+import pathlib
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def get_color(seed) -> str:
+    """Stable per-track color from sha256 (server.py:213-219)."""
+    h = int(hashlib.sha256(str(seed).encode()).hexdigest(), 16)
+    return f"#{(h >> 16) & 0xFF:02x}{(h >> 8) & 0xFF:02x}{h & 0xFF:02x}"
+
+
+def encode_rgb_im(rgb_im: np.ndarray, quality: int = 50) -> str:
+    """float RGB [0,1] → base64 JPEG (server.py:222-225)."""
+    import cv2
+
+    bgr = cv2.cvtColor((np.clip(rgb_im, 0, 1) * 255).astype(np.uint8), cv2.COLOR_RGB2BGR)
+    _, buf = cv2.imencode(".jpg", bgr, [cv2.IMWRITE_JPEG_QUALITY, quality])
+    return base64.b64encode(buf).decode("utf-8")
+
+
+class TrackedData:
+    """Per-track state + wire dict (server.py:43-82)."""
+
+    def __init__(self, track_id: int):
+        self.id = track_id
+        self.color = get_color(track_id)
+        self.last_update_time = time.time()
+        self.corners: Optional[np.ndarray] = None
+        self.score: float = 0.0
+        self.crop_encoded: Optional[str] = None
+        self.avg_z: Optional[np.ndarray] = None
+        self.matches: list[dict] = []
+
+    def to_dict(self) -> dict:
+        return {
+            "id": str(self.id),
+            "points": self.corners.tolist() if self.corners is not None else [],
+            "polygon": self.corners.tolist() if self.corners is not None else [],
+            "polygon_closed": self.corners.tolist() if self.corners is not None else [],
+            "color": self.color,
+            "img": self.crop_encoded,
+            "score": self.score,
+            "matches": self.matches,
+        }
+
+
+class TrackerCtx:
+    """Per-connection pipeline + tracker context (server.py:85-205)."""
+
+    def __init__(
+        self,
+        pipeline,  # infer.pipeline.FramePipeline
+        store=None,
+        catalog=None,
+        update_wait_sec: float = 0.5,
+        ewma_weight: float = 0.1,
+        top_k: int = 3,
+    ):
+        from mtgvision_tpu.track.tracker import Tracker
+
+        self.pipeline = pipeline
+        self.store = store if store is not None else pipeline.store
+        self.catalog = catalog
+        self.update_wait_sec = update_wait_sec
+        self.ewma_weight = ewma_weight
+        self.top_k = top_k
+        self.tracker = Tracker(
+            distance_threshold=300, hit_counter_max=5,
+            initialization_delay=2, past_detections_length=10,
+        )
+        self.tracked_data: dict[int, TrackedData] = {}
+
+    def update(self, rgb_frame: np.ndarray) -> list[TrackedData]:
+        from mtgvision_tpu.track.tracker import Detection
+
+        import jax.numpy as jnp
+
+        out = self.pipeline(jnp.asarray(rgb_frame, jnp.float32)[None])
+        valid = np.asarray(out["valid"][0])
+        corners = np.asarray(out["corners"][0])
+        scores = np.asarray(out["det_scores"][0])
+        crops = np.asarray(out["crops"][0])
+        zs = np.asarray(out["z"][0])
+
+        detections = [
+            Detection(points=corners[i], data=i) for i in range(len(valid)) if valid[i]
+        ]
+        tracked = self.tracker.update(detections)
+
+        now = time.time()
+        objs = []
+        for obj in tracked:
+            slot = obj.last_detection.data
+            trk = self.tracked_data.get(obj.id)
+            if trk is None:
+                trk = TrackedData(obj.id)
+                self.tracked_data[obj.id] = trk
+            trk.corners = corners[slot]
+            trk.score = float(scores[slot])
+            trk.crop_encoded = encode_rgb_im(crops[slot])
+            # throttled heavy path: EWMA embed + index query (server.py:178-202)
+            if now - trk.last_update_time > self.update_wait_sec or trk.avg_z is None:
+                z = zs[slot]
+                if trk.avg_z is None:
+                    trk.avg_z = z
+                trk.avg_z = self.ewma_weight * z + (1 - self.ewma_weight) * trk.avg_z
+                trk.matches = []
+                if self.store is not None and len(self.store):
+                    for p in self.store.query_nearby(trk.avg_z, k=self.top_k):
+                        payload = p.payload or {}
+                        trk.matches.append(
+                            {
+                                "id": str(p.id),
+                                "score": p.score,
+                                "name": payload.get("name"),
+                                "set_name": payload.get("set_name", payload.get("set")),
+                                "set_code": payload.get("set", payload.get("set_code")),
+                                "img_uri": payload.get("img_uri"),
+                                "all_data": payload,
+                            }
+                        )
+                trk.last_update_time = now
+            objs.append(trk)
+        return objs
+
+
+def make_app(ctx_factory, static_dir: str | pathlib.Path | None = None):
+    """aiohttp app with ws /detect + optional static mount (server.py:254-310)."""
+    from aiohttp import WSMsgType, web
+
+    async def detect_ws(request):
+        import cv2
+
+        ws = web.WebSocketResponse(max_msg_size=16 * 1024 * 1024)
+        await ws.prepare(request)
+        ctx = ctx_factory()
+        times = [time.time(), time.time()]
+        async for msg in ws:
+            if msg.type != WSMsgType.BINARY:
+                if msg.type == WSMsgType.ERROR:
+                    break
+                continue
+            t1 = time.time()
+            arr = np.frombuffer(msg.data, np.uint8)
+            bgr = cv2.imdecode(arr, cv2.IMREAD_COLOR)
+            if bgr is None:
+                continue  # skip undecodable frames (server.py:275-276)
+            frame = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+            objs = ctx.update(frame)
+            response = {
+                "detections": [o.to_dict() for o in objs],
+                "server_process_time": time.time() - t1,
+                "server_process_period": times[1] - times[0],
+                "server_recv_im_bytes": len(msg.data),
+                "server_send_im_bytes": sum(
+                    len(o.crop_encoded) for o in objs if o.crop_encoded
+                ),
+            }
+            await ws.send_json(response)
+            times = [times[1], time.time()]
+        return ws
+
+    app = web.Application()
+    app.router.add_get("/detect", detect_ws)
+    if static_dir is not None and pathlib.Path(static_dir).exists():
+        app.router.add_static("/", static_dir, show_index=True)
+    return app
+
+
+def main(host: str = "0.0.0.0", port: int = 8000, static_dir=None):
+    """Launch with a default pipeline (random weights unless checkpoints are
+    given via env/args in later rounds)."""
+    from aiohttp import web
+
+    from mtgvision_tpu.infer.pipeline import build_e2e_pipeline  # noqa: F401
+    from mtgvision_tpu.infer.pipeline import FramePipeline
+    from mtgvision_tpu.models.convnextv2ae import AE_SIZES, ConvNeXtV2Encoder
+    from mtgvision_tpu.models.yolo import YoloSeg
+
+    import jax
+    import jax.numpy as jnp
+
+    rng = jax.random.PRNGKey(0)
+    det = YoloSeg(num_classes=1, size="s", dtype=jnp.bfloat16)
+    det_vars = det.init(rng, jnp.zeros((1, 640, 640, 3)), False)
+    enc = ConvNeXtV2Encoder(
+        image_hw=(192, 128), z_size=768, head_type="conv+linear",
+        dtype=jnp.bfloat16, **AE_SIZES["nano"],
+    )
+    enc_vars = {"params": enc.init(rng, jnp.zeros((1, 192, 128, 3)))["params"]}
+    pipe = FramePipeline(det, det_vars, enc, enc_vars)
+    app = make_app(lambda: TrackerCtx(pipe), static_dir)
+    web.run_app(app, host=host, port=port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1 @@
+from mtgvision_tpu.track.tracker import Detection, TrackedObject, Tracker  # noqa: F401

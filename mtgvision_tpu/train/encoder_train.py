@@ -242,6 +242,90 @@ def train_step(state: TrainState, batch, config: EncoderConfig):
     )
 
 
+def train(
+    config: EncoderConfig,
+    catalog=None,
+    backgrounds=None,
+    max_steps: int | None = None,
+    profile_steps: tuple[int, int] | None = None,
+) -> "TrainState":
+    """Full training loop — the reference's ``train(config)``
+    (encoder_train.py:671-783) rebuilt: seeded init, device-pool datagen,
+    pjit DP over all local devices, top-3 checkpointing by loss every
+    ``ckpt_every`` steps, arch-tolerant resume, metrics JSONL (+wandb when
+    available), image grids, optional jax.profiler trace window.
+    """
+    import numpy as _np
+
+    from mtgvision_tpu.data.catalog import ProceduralBackgrounds, ProceduralCatalog
+    from mtgvision_tpu.data.encoder_gen import EncoderDataset
+    from mtgvision_tpu.parallel.mesh import make_mesh, shard_batch
+    from mtgvision_tpu.train.checkpoint import CheckpointManager
+    from mtgvision_tpu.train.logging_utils import MetricsLogger
+
+    if catalog is None:
+        catalog = ProceduralCatalog(n_cards=512)
+    if backgrounds is None:
+        backgrounds = ProceduralBackgrounds()
+
+    rng = jax.random.PRNGKey(config.seed)
+    state = create_state(config, rng)
+
+    n_dev = config.n_devices or jax.local_device_count()
+    mesh = make_mesh(n_dev) if n_dev > 1 else None
+    if mesh is not None:
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+    step_fn = make_train_step(config, mesh)
+
+    dataset = EncoderDataset.from_config(config, catalog, backgrounds)
+    ckpt = CheckpointManager(config.ckpt_dir, keep_top_k=3)
+    run_name = f"{config.model_name}_{config.head_type}_{config.loss_contrastive}"
+    logger = MetricsLogger(pathlib.Path(config.ckpt_dir) / "logs", run_name)
+
+    if config.checkpoint:
+        state = CheckpointManager(config.checkpoint).restore(target=state)
+
+    total = max_steps or config.max_steps
+    start = int(jax.device_get(state.step))
+    for i in range(start, total):
+        if profile_steps and i == profile_steps[0]:
+            jax.profiler.start_trace(str(pathlib.Path(config.ckpt_dir) / "trace"))
+        batch = dataset.random_batch()
+        if mesh is not None:
+            batch = shard_batch(mesh, batch)
+        state, logs = step_fn(state, batch)
+        if profile_steps and i == profile_steps[1]:
+            jax.block_until_ready(logs["loss"])
+            jax.profiler.stop_trace()
+        if i % config.log_every == 0 or i == total - 1:
+            logger.log(i, jax.device_get(logs))
+        if config.img_log_every and i % config.img_log_every == 0:
+            vis = {"x": _np.asarray(batch["x"][:8])}
+            if "y" in batch:
+                vis["y"] = _np.asarray(batch["y"][:8])
+            for name, imgs in vis.items():
+                logger.log_images(i, name, imgs)
+        if (i + 1) % config.ckpt_every == 0 or i == total - 1:
+            ckpt.save(
+                i + 1, state, config=dataclasses.asdict(config),
+                score=float(jax.device_get(logs["loss"])),
+            )
+    logger.close()
+    return state
+
+
+def _cli(argv=None):
+    """python -m mtgvision_tpu.train.encoder_train --model-name … — the
+    auto-generated flag surface (encoder_train.py:786-843)."""
+    from mtgvision_tpu.train.config_cli import parse_config
+
+    config = parse_config(EncoderConfig, argv)
+    return train(config)
+
+
+import pathlib  # noqa: E402  (used by train())
+
+
 def make_train_step(config: EncoderConfig, mesh: Mesh | None = None):
     """Jit (single-chip) or pjit-DP (mesh) train step.
 
@@ -257,3 +341,7 @@ def make_train_step(config: EncoderConfig, mesh: Mesh | None = None):
         "y": shard, "x": shard, "x_labels": shard, "x2": shard, "x2_labels": shard,
     }
     return jax.jit(step, in_shardings=(repl, batch_sh), out_shardings=(repl, repl))
+
+
+if __name__ == "__main__":
+    _cli()

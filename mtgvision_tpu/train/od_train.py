@@ -314,3 +314,56 @@ def make_det_train_step(config: DetectorConfig, mesh: Mesh | None = None):
         "gt_valid": shard, "gt_masks": shard,
     }
     return jax.jit(step, in_shardings=(repl, batch_sh), out_shardings=(repl, repl))
+
+
+def train(config: DetectorConfig, catalog=None, backgrounds=None, max_steps=None):
+    """Detector training loop — replaces od_train.py:14-70's ultralytics
+    model.train call with the in-repo step; checkpoints + metrics like the
+    encoder loop."""
+    import dataclasses as _dc
+    import pathlib as _pl
+
+    from mtgvision_tpu.data.catalog import ProceduralBackgrounds, ProceduralCatalog
+    from mtgvision_tpu.parallel.mesh import make_mesh, shard_batch
+    from mtgvision_tpu.train.checkpoint import CheckpointManager
+    from mtgvision_tpu.train.logging_utils import MetricsLogger
+
+    if catalog is None:
+        catalog = ProceduralCatalog(n_cards=512)
+    if backgrounds is None:
+        backgrounds = ProceduralBackgrounds()
+
+    state = create_det_state(config, jax.random.PRNGKey(config.seed))
+    n_dev = config.n_devices or jax.local_device_count()
+    mesh = make_mesh(n_dev) if n_dev > 1 else None
+    if mesh is not None:
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+    step_fn = make_det_train_step(config, mesh)
+
+    ds = DetectorDataset(catalog, backgrounds, config)
+    ckpt = CheckpointManager(config.ckpt_dir, keep_top_k=3)
+    logger = MetricsLogger(_pl.Path(config.ckpt_dir) / "logs", f"yolo{config.model_size}-{config.kind}")
+
+    total = max_steps or config.max_steps
+    for i in range(total):
+        batch = ds.random_batch()
+        if mesh is not None:
+            batch = shard_batch(mesh, batch)
+        state, logs = step_fn(state, batch)
+        if i % 50 == 0 or i == total - 1:
+            logger.log(i, jax.device_get(logs))
+        if (i + 1) % 1000 == 0 or i == total - 1:
+            ckpt.save(i + 1, state, config=_dc.asdict(config),
+                      score=float(jax.device_get(logs["loss"])))
+    logger.close()
+    return state
+
+
+def _cli(argv=None):
+    from mtgvision_tpu.train.config_cli import parse_config
+
+    return train(parse_config(DetectorConfig, argv))
+
+
+if __name__ == "__main__":
+    _cli()

@@ -1,0 +1,143 @@
+"""Export, populate, validate, server wire-format tests (tiny models, CPU)."""
+
+import asyncio
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mtgvision_tpu.data.catalog import ProceduralBackgrounds, ProceduralCatalog
+from mtgvision_tpu.index import VectorStore
+from mtgvision_tpu.index.populate import populate_card_info, populate_index
+from mtgvision_tpu.infer.export import CardSegmenter, Decoder, Encoder, export_encoder
+from mtgvision_tpu.infer.pipeline import FramePipeline
+from mtgvision_tpu.models.convnextv2ae import ConvNeXtV2Decoder, ConvNeXtV2Encoder
+from mtgvision_tpu.models.yolo import YoloSeg
+
+RNG = jax.random.PRNGKey(0)
+TINY = dict(depths=(1, 1, 1, 1), dims=(8, 16, 24, 32))
+CROP = (96, 64)
+
+
+@pytest.fixture(scope="module")
+def enc():
+    model = ConvNeXtV2Encoder(image_hw=CROP, z_size=96, head_type="conv+linear", **TINY)
+    params = model.init(RNG, jnp.zeros((1, *CROP, 3)))["params"]
+    return model, params
+
+
+@pytest.fixture(scope="module")
+def catalog():
+    return ProceduralCatalog(n_cards=24, n_names=12, card_hw=(112, 80))
+
+
+def test_encoder_wrapper_predict(enc):
+    model, params = enc
+    e = Encoder(model, params)
+    assert e.input_hwc == (*CROP, 3)
+    img = np.random.default_rng(0).random((*CROP, 3)).astype(np.float32)
+    z = e.predict(img)
+    assert z.shape == (96,)
+    zb = e.predict_batch(img[None].repeat(3, 0))
+    assert zb.shape == (3, 96)
+    assert np.allclose(zb[0], z, atol=1e-5)
+
+
+def test_decoder_wrapper(enc):
+    model = ConvNeXtV2Decoder(image_hw=CROP, z_size=96, head_type="conv+linear", **TINY)
+    params = model.init(RNG, jnp.zeros((1, 96)))["params"]
+    d = Decoder(model, params)
+    x = d.predict(np.zeros(96, np.float32))
+    assert x.shape == (*CROP, 3)
+
+
+def test_export_import_roundtrip(enc, tmp_path):
+    model, params = enc
+    out = export_encoder(params, model, tmp_path / "enc")
+    assert (out / "params.ckpt").exists()
+    meta = json.loads((out / "meta.json").read_text())
+    assert meta["kind"] == "encoder" and meta["z_size"] == 96
+    e2 = Encoder(model, path=out)
+    img = np.random.default_rng(1).random((*CROP, 3)).astype(np.float32)
+    assert np.allclose(e2.predict(img), Encoder(model, params).predict(img), atol=1e-6)
+
+
+def test_populate_and_validate(enc, catalog):
+    model, params = enc
+    e = Encoder(model, params)
+    store = VectorStore(dim=96)
+    n = populate_index(store, catalog, e.predict_batch, batch_size=8, crop_hw=CROP)
+    assert n == 24 and len(store) == 24
+    # resumable: second run adds nothing
+    assert populate_index(store, catalog, e.predict_batch, batch_size=8, crop_hw=CROP) == 0
+    assert populate_card_info(store, catalog) == 24
+    [p] = store.retrieve(["proc-000003"])
+    assert p.payload["name"] == "name-000003"
+
+    # validation: even an untrained encoder must be near-perfect on "orig"
+    # inputs — identical preprocessing to population ⇒ nearest neighbor is
+    # the card itself (sanity floor for the harness)
+    from mtgvision_tpu.eval.validate import validate_retrieval
+
+    stats = validate_retrieval(
+        store, catalog, ProceduralBackgrounds(bg_hw=(128, 128)),
+        e.predict_batch, n=16, batch_size=8, crop_hw=CROP, modes=("crop",),
+    )
+    assert stats["crop"].total == 16
+    assert stats["crop"].acc1 == 1.0  # exact same pipeline as population
+
+
+def test_card_segmenter_facade():
+    det = YoloSeg(num_classes=1, size="n")
+    det_vars = det.init(RNG, jnp.zeros((1, 128, 128, 3)), False)
+    seg = CardSegmenter(det, det_vars, max_det=4)
+    out = seg(np.random.default_rng(0).random((128, 128, 3)).astype(np.float32))
+    assert isinstance(out, list)  # untrained → almost surely empty
+
+
+def test_server_wire_format(enc, catalog):
+    """Full ws round-trip: JPEG in → reference-shaped JSON out."""
+    import cv2
+    from aiohttp import web
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from mtgvision_tpu.serve.server import TrackerCtx, make_app
+
+    model, params = enc
+    det = YoloSeg(num_classes=1, size="n")
+    det_vars = det.init(RNG, jnp.zeros((1, 128, 128, 3)), False)
+    store = VectorStore(dim=96)
+    pipe = FramePipeline(
+        det, det_vars, model, {"params": params}, store=store, max_det=2, crop_hw=CROP
+    )
+    app = make_app(lambda: TrackerCtx(pipe, store=store))
+
+    frame = (np.random.default_rng(0).random((128, 128, 3)) * 255).astype(np.uint8)
+    ok, jpg = cv2.imencode(".jpg", frame)
+    assert ok
+
+    async def roundtrip():
+        server = TestServer(app)
+        client = TestClient(server)
+        await client.start_server()
+        try:
+            ws = await client.ws_connect("/detect")
+            await ws.send_bytes(jpg.tobytes())
+            msg = await asyncio.wait_for(ws.receive_json(), timeout=120)
+            await ws.close()
+            return msg
+        finally:
+            await client.close()
+
+    msg = asyncio.run(roundtrip())
+    assert set(msg) == {
+        "detections", "server_process_time", "server_process_period",
+        "server_recv_im_bytes", "server_send_im_bytes",
+    }
+    assert msg["server_recv_im_bytes"] == len(jpg.tobytes())
+    for det_obj in msg["detections"]:
+        assert set(det_obj) == {
+            "id", "points", "polygon", "polygon_closed", "color", "img", "score", "matches",
+        }
