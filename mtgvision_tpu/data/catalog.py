@@ -156,6 +156,14 @@ class ScryfallCatalog(CardCatalog):
 
 
 def _load_resize(path: pathlib.Path, hw: tuple[int, int]) -> np.ndarray:
+    if path.suffix.lower() in (".jpg", ".jpeg"):
+        # native fused DCT-scaled decode+resize (utils/native.py)
+        from mtgvision_tpu.utils.native import decode_jpeg_resize
+
+        try:
+            return decode_jpeg_resize(path.read_bytes(), hw).astype(np.float32) / 255.0
+        except Exception:
+            pass
     from PIL import Image
 
     im = Image.open(path).convert("RGB").resize((hw[1], hw[0]), Image.BILINEAR)

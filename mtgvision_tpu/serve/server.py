@@ -37,12 +37,11 @@ def get_color(seed) -> str:
 
 
 def encode_rgb_im(rgb_im: np.ndarray, quality: int = 50) -> str:
-    """float RGB [0,1] → base64 JPEG (server.py:222-225)."""
-    import cv2
+    """float RGB [0,1] → base64 JPEG (server.py:222-225), native libjpeg path."""
+    from mtgvision_tpu.utils.native import encode_jpeg
 
-    bgr = cv2.cvtColor((np.clip(rgb_im, 0, 1) * 255).astype(np.uint8), cv2.COLOR_RGB2BGR)
-    _, buf = cv2.imencode(".jpg", bgr, [cv2.IMWRITE_JPEG_QUALITY, quality])
-    return base64.b64encode(buf).decode("utf-8")
+    u8 = (np.clip(rgb_im, 0, 1) * 255).astype(np.uint8)
+    return base64.b64encode(encode_jpeg(u8, quality)).decode("utf-8")
 
 
 class TrackedData:
@@ -156,7 +155,7 @@ def make_app(ctx_factory, static_dir: str | pathlib.Path | None = None):
     from aiohttp import WSMsgType, web
 
     async def detect_ws(request):
-        import cv2
+        from mtgvision_tpu.utils.native import decode_jpeg
 
         ws = web.WebSocketResponse(max_msg_size=16 * 1024 * 1024)
         await ws.prepare(request)
@@ -168,11 +167,11 @@ def make_app(ctx_factory, static_dir: str | pathlib.Path | None = None):
                     break
                 continue
             t1 = time.time()
-            arr = np.frombuffer(msg.data, np.uint8)
-            bgr = cv2.imdecode(arr, cv2.IMREAD_COLOR)
-            if bgr is None:
+            try:
+                rgb = decode_jpeg(msg.data)  # native libjpeg
+            except ValueError:
                 continue  # skip undecodable frames (server.py:275-276)
-            frame = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+            frame = rgb.astype(np.float32) / 255.0
             objs = ctx.update(frame)
             response = {
                 "detections": [o.to_dict() for o in objs],
