@@ -189,11 +189,20 @@ def make_app(ctx_factory, static_dir: str | pathlib.Path | None = None):
     app = web.Application()
     app.router.add_get("/detect", detect_ws)
     if static_dir is not None and pathlib.Path(static_dir).exists():
+        index = pathlib.Path(static_dir) / "index.html"
+        if index.exists():
+            async def root(_):
+                return web.FileResponse(index)
+
+            app.router.add_get("/", root)
         app.router.add_static("/", static_dir, show_index=True)
     return app
 
 
-def main(host: str = "0.0.0.0", port: int = 8000, static_dir=None):
+DEFAULT_STATIC = pathlib.Path(__file__).resolve().parents[2] / "www"
+
+
+def main(host: str = "0.0.0.0", port: int = 8000, static_dir=DEFAULT_STATIC):
     """Launch with a default pipeline (random weights unless checkpoints are
     given via env/args in later rounds)."""
     from aiohttp import web

@@ -141,3 +141,26 @@ def test_server_wire_format(enc, catalog):
         assert set(det_obj) == {
             "id", "points", "polygon", "polygon_closed", "color", "img", "score", "matches",
         }
+
+
+def test_static_client_served():
+    """Root serves the web client (server.py:306-310 static mount parity)."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from mtgvision_tpu.serve.server import DEFAULT_STATIC, make_app
+
+    app = make_app(lambda: None, static_dir=DEFAULT_STATIC)
+
+    async def fetch():
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            r1 = await client.get("/")
+            r2 = await client.get("/app.js")
+            return r1.status, (await r1.text()), r2.status
+        finally:
+            await client.close()
+
+    s1, body, s2 = asyncio.run(fetch())
+    assert s1 == 200 and s2 == 200
+    assert "mtgvision" in body

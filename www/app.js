@@ -1,0 +1,185 @@
+// mtgvision_tpu web client — behavior parity with the reference TS client:
+// * frame pump: canvas→JPEG blob→ws with adaptive delay
+//   max(sendPeriod, 1.5·server_process_time)   (component-video.ts:240-276)
+// * auto-reconnect after 5 s + liveness poll    (util-websocket.ts:60,90-94)
+// * EWMA of server timing stats                 (util-websocket.ts:70-83)
+// * SVG quad overlay w/ per-track colors        (component-video-overlay-cards.ts)
+// * sidebar: crop thumbnails, top-3 matches w/ prices, total deck value
+//   (component-sidebar.ts:130-145)
+// * settings: device picker (localStorage), period/quality/threshold sliders
+//   (util-store.ts:24-26, component-video.ts:97-111)
+
+"use strict";
+
+const state = {
+  sendPeriodMs: 1000 / 15,
+  sendQuality: 0.7,
+  matchThreshold: 0.5,
+  detections: [],
+  stats: { fps: 0, procTime: 0, period: 0, up: 0, down: 0 },
+  wsAlive: false,
+  lastMsgTime: 0,
+};
+
+const $ = (id) => document.getElementById(id);
+const video = $("video");
+const overlay = $("overlay");
+let ws = null;
+let sendTimer = null;
+
+// ---------- websocket ----------
+function wsUrl() {
+  const proto = location.protocol === "https:" ? "wss" : "ws";
+  return `${proto}://${location.host}/detect`;
+}
+
+function connect() {
+  ws = new WebSocket(wsUrl());
+  ws.binaryType = "arraybuffer";
+  ws.onopen = () => { state.wsAlive = true; scheduleSend(0); };
+  ws.onmessage = (ev) => {
+    const msg = JSON.parse(ev.data);
+    state.detections = msg.detections || [];
+    const a = 0.1; // EWMA like the reference stats overlay
+    state.stats.procTime = a * (msg.server_process_time * 1000) + (1 - a) * state.stats.procTime;
+    state.stats.period = a * (msg.server_process_period * 1000) + (1 - a) * state.stats.period;
+    state.stats.up = a * msg.server_recv_im_bytes + (1 - a) * state.stats.up;
+    state.stats.down = a * msg.server_send_im_bytes + (1 - a) * state.stats.down;
+    state.lastMsgTime = performance.now();
+    render();
+    // adaptive delay: don't overrun a slow server (component-video.ts:249-253)
+    scheduleSend(Math.max(state.sendPeriodMs, 1.5 * state.stats.procTime));
+  };
+  ws.onclose = () => { state.wsAlive = false; setTimeout(connect, 5000); };
+  ws.onerror = () => ws.close();
+}
+setInterval(() => {  // liveness: if no reply for 2 s, kick the pump again
+  if (state.wsAlive && performance.now() - state.lastMsgTime > 2000) scheduleSend(0);
+}, 2000);
+
+// ---------- frame pump ----------
+const sendCanvas = document.createElement("canvas");
+function scheduleSend(delayMs) {
+  clearTimeout(sendTimer);
+  sendTimer = setTimeout(sendFrame, delayMs);
+}
+function sendFrame() {
+  if (!ws || ws.readyState !== WebSocket.OPEN || video.videoWidth === 0) {
+    scheduleSend(200);
+    return;
+  }
+  sendCanvas.width = video.videoWidth;
+  sendCanvas.height = video.videoHeight;
+  sendCanvas.getContext("2d").drawImage(video, 0, 0);
+  sendCanvas.toBlob(
+    (blob) => blob && blob.arrayBuffer().then((b) => {
+      if (ws.readyState === WebSocket.OPEN) ws.send(b);
+    }),
+    "image/jpeg",
+    state.sendQuality
+  );
+}
+
+// ---------- camera ----------
+async function listDevices() {
+  const sel = $("device-select");
+  const devs = (await navigator.mediaDevices.enumerateDevices())
+    .filter((d) => d.kind === "videoinput");
+  sel.innerHTML = "";
+  for (const d of devs) {
+    const o = document.createElement("option");
+    o.value = d.deviceId;
+    o.textContent = d.label || `camera ${sel.length + 1}`;
+    sel.appendChild(o);
+  }
+  const saved = localStorage.getItem("mtgv-device");
+  if (saved) sel.value = saved;
+  sel.onchange = () => {
+    localStorage.setItem("mtgv-device", sel.value);
+    startCamera(sel.value);
+  };
+  return sel.value || undefined;
+}
+
+async function startCamera(deviceId) {
+  if (video.srcObject) video.srcObject.getTracks().forEach((t) => t.stop());
+  const stream = await navigator.mediaDevices.getUserMedia({
+    video: { width: 640, height: 480, deviceId: deviceId ? { exact: deviceId } : undefined },
+  });
+  video.srcObject = stream;
+}
+
+// ---------- render ----------
+function render() {
+  const w = video.videoWidth || 640;
+  const h = video.videoHeight || 480;
+  overlay.setAttribute("viewBox", `0 0 ${w} ${h}`);
+  const dets = state.detections.filter(
+    (d) => (d.matches?.[0]?.score ?? 1) >= 0 // overlay shows all tracks
+  );
+  overlay.innerHTML = dets
+    .map((d) => {
+      const pts = (d.points || []).map((p) => p.join(",")).join(" ");
+      const top = d.points && d.points.length >= 2
+        ? `<line x1="${d.points[0][0]}" y1="${d.points[0][1]}" x2="${d.points[1][0]}" y2="${d.points[1][1]}" stroke="red" stroke-width="3"/>`
+        : "";
+      const name = d.matches?.[0]?.name ?? "";
+      const label = d.points?.length
+        ? `<text x="${d.points[0][0]}" y="${d.points[0][1] - 6}" fill="${d.color}" font-size="14">${name}</text>`
+        : "";
+      return `<g><polygon points="${pts}" fill="none" stroke="${d.color}" stroke-width="2"/>${top}${label}</g>`;
+    })
+    .join("");
+
+  // sidebar
+  const thr = state.matchThreshold;
+  let total = 0;
+  $("tracks").innerHTML = state.detections
+    .map((d) => {
+      const matches = (d.matches || []).filter((m) => m.score >= thr);
+      const best = matches[0];
+      const price = parseFloat(best?.all_data?.prices?.usd ?? "");
+      if (!isNaN(price)) total += price;
+      return `<div class="track">
+        <div class="track-head">
+          ${d.img ? `<img src="data:image/jpeg;base64,${d.img}">` : ""}
+          <div><span class="swatch" style="background:${d.color}"></span>
+          <b>${best?.name ?? "…"}</b><br>
+          <small>${best?.set_code?.toUpperCase?.() ?? ""} ${isNaN(price) ? "" : "$" + price.toFixed(2)}</small></div>
+        </div>
+        ${matches.map((m) =>
+          `<div class="match"><span>${m.name} <small>(${m.set_code ?? ""})</small></span>
+           <span class="score">${(m.score * 100).toFixed(0)}%</span></div>`).join("")}
+      </div>`;
+    })
+    .join("");
+  $("deck-value").textContent = total > 0 ? `Deck value: $${total.toFixed(2)}` : "";
+
+  $("stats").textContent =
+    `proc ${state.stats.procTime.toFixed(1)} ms | period ${state.stats.period.toFixed(1)} ms\n` +
+    `↑ ${(state.stats.up / 1024).toFixed(1)} KiB | ↓ ${(state.stats.down / 1024).toFixed(1)} KiB\n` +
+    `tracks ${state.detections.length} | ws ${state.wsAlive ? "ok" : "reconnecting"}`;
+}
+
+// ---------- controls ----------
+function bindSlider(id, apply, fmt = (v) => v) {
+  const el = $(id);
+  const show = () => ($(`${id}-v`).textContent = fmt(el.value));
+  el.oninput = () => { apply(parseFloat(el.value)); show(); };
+  show();
+}
+bindSlider("period", (v) => (state.sendPeriodMs = v));
+bindSlider("quality", (v) => (state.sendQuality = v / 100));
+bindSlider("threshold", (v) => (state.matchThreshold = v / 100));
+
+// ---------- boot ----------
+(async () => {
+  try {
+    await startCamera(await listDevices());
+    await listDevices(); // labels appear after permission
+  } catch (e) {
+    $("stats").textContent = `camera error: ${e.message}`;
+  }
+  connect();
+  render();
+})();
