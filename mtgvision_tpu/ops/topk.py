@@ -100,6 +100,7 @@ def cosine_topk_pallas(
     db: jnp.ndarray,
     k: int,
     tile_n: int = 2048,
+    interpret: bool = False,
 ):
     """Streaming fused normalize→matmul→top-k in a single Pallas kernel.
 
@@ -167,5 +168,6 @@ def cosine_topk_pallas(
             pltpu.VMEM((b, kp), jnp.float32),
             pltpu.VMEM((b, kp), jnp.int32),
         ],
+        interpret=interpret,
     )(q, db.astype(jnp.bfloat16))
     return v[:, :k], i[:, :k]

@@ -107,3 +107,16 @@ def test_cosine_topk(rng):
     v, i = cosine_topk(jnp.asarray(q), jnp.asarray(db), k=1, normalized=False)
     assert list(np.asarray(i)[:, 0]) == [17, 256]
     assert np.allclose(v, 1.0, atol=1e-2)
+
+
+def test_cosine_topk_pallas_interpret(rng):
+    """Pallas streaming kernel ≡ XLA path (interpret mode on CPU)."""
+    from mtgvision_tpu.ops.topk import cosine_topk_pallas
+
+    db = rng.standard_normal((3000, 64)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    q = rng.standard_normal((4, 64)).astype(np.float32)
+    v1, i1 = cosine_topk(jnp.asarray(q), jnp.asarray(db), k=5)
+    v2, i2 = cosine_topk_pallas(jnp.asarray(q), jnp.asarray(db), k=5, tile_n=512, interpret=True)
+    assert (np.asarray(i1) == np.asarray(i2)).all()
+    assert np.allclose(v1, v2, atol=2e-2)
