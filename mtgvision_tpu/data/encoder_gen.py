@@ -216,6 +216,49 @@ def make_pair_batch_pooled(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "batch_size", "x_size_hw", "y_size_hw", "half_upsidedown",
+        "similar_neg_prob", "target_is_input_prob",
+    ),
+)
+def make_pair_batch_sampled(
+    key,
+    card_pool_u8: jnp.ndarray,  # (P, Hc, Wc, 3) uint8
+    bg_pool_u8: jnp.ndarray,  # (Q, Hb, Wb, 3) uint8
+    slot_labels: jnp.ndarray,  # (P, 3) int32 [card, name, set]
+    similar_table: jnp.ndarray,  # (P,) int32 — same-name other slot (or self)
+    batch_size: int = 64,
+    similar_neg_prob: float = 0.2,
+    target_is_input_prob: float = 0.05,
+    x_size_hw: tuple[int, int] = (192, 128),
+    y_size_hw: tuple[int, int] = (192, 128),
+    half_upsidedown: bool = False,
+):
+    """Fully device-side batch sampling + generation: ONE scalar key in,
+    whole training batch out. Eliminates all per-step host→device index
+    traffic (critical when dispatch latency is high — e.g. tunneled TPUs;
+    on-device randint/bernoulli replace the host RNG draws of
+    encoder_train.py:189-230)."""
+    kc, ks, kb0, kb1, kt, kgen = jax.random.split(key, 6)
+    p = card_pool_u8.shape[0]
+    q = bg_pool_u8.shape[0]
+    card_idx = jax.random.randint(kc, (batch_size,), 0, p)
+    use_sim = jax.random.bernoulli(ks, similar_neg_prob, (batch_size,))
+    pair_idx = jnp.where(use_sim, similar_table[card_idx], card_idx)
+    bg0 = jax.random.randint(kb0, (batch_size,), 0, q)
+    bg1 = jax.random.randint(kb1, (batch_size,), 0, q)
+    t_mask = jax.random.bernoulli(kt, target_is_input_prob, (batch_size,))
+    out = make_pair_batch_pooled(
+        kgen, card_pool_u8, bg_pool_u8, card_idx, pair_idx, bg0, bg1, t_mask,
+        x_size_hw=x_size_hw, y_size_hw=y_size_hw, half_upsidedown=half_upsidedown,
+    )
+    out["x_labels"] = slot_labels[card_idx]
+    out["x2_labels"] = slot_labels[pair_idx]
+    return out
+
+
 class DeviceCardPool:
     """HBM-resident uint8 card library with host-side label/name indexes.
 
@@ -251,6 +294,16 @@ class DeviceCardPool:
         self._name_slots: dict[int, list[int]] = {}
         for s, lab in enumerate(self.slot_labels):
             self._name_slots.setdefault(int(lab[1]), []).append(s)
+        # device-side sampling tables: labels + a random same-name partner per
+        # slot (self when the name has a single pooled printing)
+        rng = np.random.default_rng(len(self._slot_card))
+        table = np.arange(self.pool_size, dtype=np.int32)
+        for s in range(self.pool_size):
+            cands = [c for c in self._name_slots[int(self.slot_labels[s][1])] if c != s]
+            if cands:
+                table[s] = cands[int(rng.integers(len(cands)))]
+        self.similar_table = jnp.asarray(table)
+        self.slot_labels_dev = jnp.asarray(self.slot_labels)
 
     def card_at(self, slot: int):
         return self.catalog.card_by_index(int(self._slot_card[slot]))
@@ -331,6 +384,7 @@ class EncoderDataset:
         seed: int = 0,
         cache_images: bool = True,
         use_device_pool: bool = True,
+        device_sampling: bool = True,
         pool_size: int = 4096,
         bg_pool_size: int = 256,
         pool_refresh_per_batch: int = 0,
@@ -349,6 +403,7 @@ class EncoderDataset:
         self.key = jax.random.PRNGKey(seed)
         self._img_cache: Optional[dict] = {} if cache_images else None
         self.use_device_pool = use_device_pool
+        self.device_sampling = device_sampling
         self.pool_refresh_per_batch = pool_refresh_per_batch
         self._card_pool: Optional[DeviceCardPool] = None
         self._bg_pool: Optional[DeviceBgPool] = None
@@ -386,10 +441,32 @@ class EncoderDataset:
         return self.batch_for_cards(cards)
 
     def _random_batch_pooled(self, n: int) -> dict:
-        """Production path: ~1 KB of indices to device per batch."""
+        """Production path: device-side sampling — only a PRNG key crosses
+        the host/device boundary per batch."""
         pool, bgp = self._pools()
         if self.pool_refresh_per_batch:
             pool.refresh(self.rng, self.pool_refresh_per_batch)
+        if self.device_sampling:
+            out = make_pair_batch_sampled(
+                self._next_key(),
+                pool.images,
+                bgp.images,
+                pool.slot_labels_dev,
+                pool.similar_table,
+                batch_size=n,
+                similar_neg_prob=self.similar_neg_prob if self.paired else 0.0,
+                target_is_input_prob=self.target_is_input_prob,
+                x_size_hw=self.x_size_hw,
+                y_size_hw=self.y_size_hw,
+                half_upsidedown=self.half_upsidedown,
+            )
+            batch = {"x": out["x"], "x_labels": out["x_labels"]}
+            if self.targets:
+                batch["y"] = out["y"]
+            if self.paired:
+                batch["x2"] = out["x2"]
+                batch["x2_labels"] = out["x2_labels"]
+            return batch
         card_idx = self.rng.integers(0, pool.pool_size, n)
         pair_idx = np.asarray(
             [
