@@ -22,13 +22,18 @@ import numpy as np
 NORTH_STAR_FPS = 500.0
 
 
-def _bench(fn, args, warmup=3, iters=20) -> float:
+def _bench_chained(fn, x0, warmup=3, iters=20) -> float:
+    """Time fn with a data dependency between iterations — async dispatch +
+    out-of-order buffer resolution over tunneled TPUs makes unchained loops
+    report impossible times; chaining forces true serialization."""
+    chain = jnp.zeros((), jnp.float32)
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        chain = fn(x0 + chain)
+    jax.block_until_ready(chain)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        chain = fn(x0 + chain)
+    jax.block_until_ready(chain)
     return (time.perf_counter() - t0) / iters
 
 
@@ -68,11 +73,14 @@ def main():
     db = db / jnp.linalg.norm(db, axis=1, keepdims=True)
 
     @jax.jit
-    def embed_match(x):
+    def embed_match(x, db):
+        # db as an ARGUMENT — closing over it bakes the matrix into the HLO
+        # shipped to size-limited remote compile services
         z = model.apply({"params": params}, x, method="encode")
-        return cosine_topk(z, db, k=3)
+        s, i = cosine_topk(z, db, k=3)
+        return 0.0 * s[0, 0]  # scalar chain value
 
-    dt = _bench(embed_match, (x,))
+    dt = _bench_chained(lambda xx: embed_match(xx, db), x)
     ips = batch / dt
     print(json.dumps({
         "metric": "embed_match_images_per_sec_per_chip",

@@ -36,9 +36,14 @@ def quick_test(ae_model, batch_size: int = 1, seed: int = 0) -> dict:
     z = jax.random.normal(rng, (batch_size, ae_model.z_size))
     variables = ae_model.init(rng, x)
 
-    ae_fn = jax.jit(lambda xx: ae_model.apply(variables, xx))
-    enc_fn = jax.jit(lambda xx: ae_model.apply(variables, xx, method="encode"))
-    dec_fn = jax.jit(lambda zz: ae_model.apply(variables, zz, method="decode"))
+    # params as ARGUMENTS — closure constants get baked into the shipped HLO
+    # and break size-limited remote compile for large models
+    ae_fn_v = jax.jit(lambda v, xx: ae_model.apply(v, xx))
+    enc_fn_v = jax.jit(lambda v, xx: ae_model.apply(v, xx, method="encode"))
+    dec_fn_v = jax.jit(lambda v, zz: ae_model.apply(v, zz, method="decode"))
+    ae_fn = lambda xx: ae_fn_v(variables, xx)
+    enc_fn = lambda xx: enc_fn_v(variables, xx)
+    dec_fn = lambda zz: dec_fn_v(variables, zz)
 
     enc_p = _n_params(variables["params"].get("encoder", {}))
     dec_p = _n_params(variables["params"].get("decoder", {}))

@@ -207,12 +207,23 @@ def build_e2e_pipeline(
 
 
 def bench_e2e(batch: int = 8, iters: int = 20) -> float:
-    """Frames/s/chip for the full detect→orient→rectify→embed→match program."""
+    """Frames/s/chip for the full detect→orient→rectify→embed→match program.
+
+    Iterations are data-chained (frame input depends on the previous match
+    output) so async dispatch over tunneled TPUs can't hide execution time.
+    """
     run, frames = build_e2e_pipeline(batch=batch)
-    jax.block_until_ready(run(frames))  # compile
+    chain = jnp.zeros((), jnp.float32)
+
+    def step(c):
+        idx, valid = run(frames + c)
+        return 0.0 * idx[0, 0, 0].astype(jnp.float32)
+
+    chain = step(chain)
+    jax.block_until_ready(chain)  # compile
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = run(frames)
-    jax.block_until_ready(out)
+        chain = step(chain)
+    jax.block_until_ready(chain)
     dt = (time.perf_counter() - t0) / iters
     return batch / dt

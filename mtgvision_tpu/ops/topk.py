@@ -87,12 +87,29 @@ def cosine_topk(
 
 
 def _merge_topk(run_v, run_i, tile_v, tile_i, k: int):
-    """Merge running (B,k) top-k with a new tile's (B,T) scores."""
+    """Merge running (B,k) top-k with a new tile's (B,T) scores.
+
+    Mosaic has no top_k/sort lowering, so the merge is k passes of masked
+    max + argmax over the concatenated candidates — k is small (≤16) and each
+    pass is a cheap VPU row reduction, so this stays fast.
+    """
     v = jnp.concatenate([run_v, tile_v], axis=1)
     i = jnp.concatenate([run_i, tile_i], axis=1)
-    nv, sel = lax.top_k(v, k)
-    ni = jnp.take_along_axis(i, sel, axis=1)
-    return nv, ni
+    b, m = v.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, m), 1)
+
+    out_v = []
+    out_i = []
+    for _ in range(k):
+        best = jnp.max(v, axis=1, keepdims=True)  # (B,1)
+        # first column achieving the max
+        is_best = v >= best
+        first = jnp.min(jnp.where(is_best, col, m), axis=1, keepdims=True)
+        picked_i = jnp.sum(jnp.where(col == first, i, 0), axis=1)
+        out_v.append(best[:, 0])
+        out_i.append(picked_i)
+        v = jnp.where(col == first, -jnp.inf, v)
+    return jnp.stack(out_v, axis=1), jnp.stack(out_i, axis=1)
 
 
 def cosine_topk_pallas(
@@ -114,7 +131,7 @@ def cosine_topk_pallas(
 
     b, d = queries.shape
     n = db.shape[0]
-    kp = max(128, k)  # lane-aligned running top-k
+    kp = k  # running top-k width == k (merge is k masked-max passes)
     pad_n = (-n) % tile_n
     if pad_n:
         db = jnp.pad(db, ((0, pad_n), (0, 0)))

@@ -28,6 +28,19 @@ from jax import lax
 AugFn = Callable[[jax.Array, jnp.ndarray], jnp.ndarray]
 
 
+def seed_all(seed: int) -> jax.Array:
+    """Seed python/numpy global RNGs and return a JAX PRNGKey
+    (util/random.py:32-40 seeds random/numpy/torch; JAX randomness itself is
+    explicit key-threading — the returned key is the root)."""
+    import random as _random
+
+    import numpy as _np
+
+    _random.seed(seed)
+    _np.random.seed(seed)
+    return jax.random.PRNGKey(seed)
+
+
 def _identity(key, img):
     return img
 

@@ -62,3 +62,34 @@ def test_image2base64():
     assert raw[:2] == b"\xff\xd8"  # JPEG
     s2 = image2base64(img, fmt="png")
     assert base64.b64decode(s2)[:4] == b"\x89PNG"
+
+
+def test_file_utils(tmp_path):
+    from mtgvision_tpu.utils.files import get_image_paths, imread_float, imwrite, init_dir
+
+    # smooth gradient — JPEG obliterates white noise regardless of quality
+    yy, xx = np.meshgrid(np.linspace(0, 1, 24), np.linspace(0, 1, 32), indexing="ij")
+    img = np.stack([yy, xx, (yy + xx) / 2], -1).astype(np.float32)
+    imwrite(tmp_path / "a/b.jpg", img)
+    imwrite(tmp_path / "c.png", img)
+    paths = get_image_paths(tmp_path)
+    assert [p.name for p in paths] == ["b.jpg", "c.png"]
+    back = imread_float(tmp_path / "c.png")
+    assert back.shape == (24, 32, 3)
+    assert np.abs(back - img).max() < 0.01  # png lossless (8-bit quantization)
+    jback = imread_float(tmp_path / "a/b.jpg")
+    assert np.abs(jback - img).mean() < 0.1
+    d = init_dir(tmp_path / "x/y")
+    assert d.is_dir()
+
+
+def test_seed_all():
+    import random
+
+    from mtgvision_tpu.utils.random import seed_all
+
+    k1 = seed_all(5)
+    a, b = random.random(), np.random.rand()
+    k2 = seed_all(5)
+    assert (random.random(), np.random.rand()) == (a, b)
+    assert (np.asarray(k1) == np.asarray(k2)).all()

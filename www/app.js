@@ -148,8 +148,10 @@ function render() {
           <small>${best?.set_code?.toUpperCase?.() ?? ""} ${isNaN(price) ? "" : "$" + price.toFixed(2)}</small></div>
         </div>
         ${matches.map((m) =>
-          `<div class="match"><span>${m.name} <small>(${m.set_code ?? ""})</small></span>
+          `<div class="match"><span>${m.name} <small>(${m.set_code ?? ""})</small>
+           ${renderSymbols(m.all_data?.mana_cost)}</span>
            <span class="score">${(m.score * 100).toFixed(0)}%</span></div>`).join("")}
+        ${best?.all_data?.oracle_text ? `<div style="font-size:11px;color:#999;margin-top:4px">${renderSymbols(best.all_data.oracle_text)}</div>` : ""}
       </div>`;
     })
     .join("");
@@ -159,6 +161,26 @@ function render() {
     `proc ${state.stats.procTime.toFixed(1)} ms | period ${state.stats.period.toFixed(1)} ms\n` +
     `↑ ${(state.stats.up / 1024).toFixed(1)} KiB | ↓ ${(state.stats.down / 1024).toFixed(1)} KiB\n` +
     `tracks ${state.detections.length} | ws ${state.wsAlive ? "ok" : "reconnecting"}`;
+}
+
+// ---------- scryfall symbology (scryfall.ts:8-56 parity) ----------
+// replaces {W}/{2}{U}-style tokens with inline SVG icons; degrades to plain
+// text when api.scryfall.com is unreachable (zero-egress deployments).
+const symbology = {};
+(async function fetchSymbology() {
+  try {
+    const r = await fetch("https://api.scryfall.com/symbology");
+    const data = await r.json();
+    for (const s of data.data || []) symbology[s.symbol] = s.svg_uri;
+  } catch (_) { /* offline: tokens stay textual */ }
+})();
+function renderSymbols(text) {
+  if (!text) return "";
+  return String(text).replace(/\{[^}]+\}/g, (tok) =>
+    symbology[tok]
+      ? `<img src="${symbology[tok]}" style="height:1em;vertical-align:-0.15em">`
+      : tok
+  );
 }
 
 // ---------- controls ----------
