@@ -274,6 +274,36 @@ class ImageDirBackgrounds(Backgrounds):
         return _load_resize(self.ran_path(rng), self.bg_hw)
 
 
+class IlsvrcImages(ImageDirBackgrounds):
+    """ILSVRC-2010 validation images as backgrounds (encoder_datasets.py:421-478).
+
+    Point ``root`` at the extracted val dir; any nested layout works."""
+
+    def __init__(self, root: str | pathlib.Path, bg_hw: tuple[int, int] = (256, 256)):
+        super().__init__(root, bg_hw)
+
+
+class CocoValImages(ImageDirBackgrounds):
+    """COCO-2017 val images as backgrounds (encoder_datasets.py:480-494)."""
+
+    def __init__(self, root: str | pathlib.Path, bg_hw: tuple[int, int] = (256, 256)):
+        super().__init__(root, bg_hw)
+
+
+class MixedBackgrounds(Backgrounds):
+    """Weighted mix of background sources — the reference samples ILSVRC vs
+    COCO with weights (od_datasets.py:663-668 ilsvrc_vs_coco_sample_weights)."""
+
+    def __init__(self, sources: Sequence[Backgrounds], weights: Sequence[float] | None = None):
+        self.sources = list(sources)
+        w = np.asarray(weights if weights is not None else [1.0] * len(self.sources), float)
+        self.p = w / w.sum()
+
+    def ran_image(self, rng: np.random.Generator) -> np.ndarray:
+        src = self.sources[int(rng.choice(len(self.sources), p=self.p))]
+        return src.ran_image(rng)
+
+
 class ProceduralBackgrounds(Backgrounds):
     """Smooth random color fields (low-freq sinusoid mixtures) — hermetic
     stand-in for ILSVRC/COCO background photos."""

@@ -215,19 +215,27 @@ def detection_loss(
     loss = box_gain * loss_box + cls_gain * loss_cls + dfl_gain * loss_dfl
     logs = {"loss_box": loss_box, "loss_cls": loss_cls, "loss_dfl": loss_dfl}
 
-    # --- masks: BCE(protos·coef, gt instance mask) cropped to gt box
+    # --- masks: BCE(protos·coef, gt instance mask) cropped to gt box.
+    # Computed ONLY for the top ``mask_topk`` foreground anchors per image —
+    # materializing (B, N=8400, Hp, Wp) masks for every anchor needs ~18 GB
+    # HBM at 640px; fg anchors are ≤ topk·M anyway (ultralytics computes per
+    # assigned anchor too).
     if gt_masks is not None:
+        mask_topk = 64
         hp, wp = protos.shape[1:3]
         scale = hp / img_hw[0]
-        pred_m = jnp.einsum("bhwc,bnc->bnhw", protos, mcoef)  # (B, N, Hp, Wp)
+        sel_w, sel_idx = jax.lax.top_k(w, min(mask_topk, w.shape[1]))  # (B, MF)
+        sel_coef = jnp.take_along_axis(mcoef, sel_idx[..., None], 1)  # (B, MF, NM)
+        sel_assigned = jnp.take_along_axis(assigned, sel_idx, 1)  # (B, MF)
         tgt_m = jnp.take_along_axis(
-            gt_masks, assigned[..., None, None], 1
-        )  # (B, N, Hp, Wp)
+            gt_masks, sel_assigned[..., None, None], 1
+        )  # (B, MF, Hp, Wp)
+        sel_boxes = jnp.take_along_axis(tgt_boxes, sel_idx[..., None], 1)
+        pred_m = jnp.einsum("bhwc,bmc->bmhw", protos, sel_coef)  # (B, MF, Hp, Wp)
         mbce = optax_sigmoid_bce(pred_m, tgt_m)
-        # crop to gt box + normalize by box area (ultralytics single_mask_loss)
         yy = jnp.arange(hp, dtype=jnp.float32)[None, None, :, None]
         xx = jnp.arange(wp, dtype=jnp.float32)[None, None, None, :]
-        bx = tgt_boxes * scale
+        bx = sel_boxes * scale
         in_box = (
             (xx >= bx[..., 0, None, None])
             & (xx < bx[..., 2, None, None])
@@ -238,7 +246,7 @@ def detection_loss(
             (bx[..., 2] - bx[..., 0]) * (bx[..., 3] - bx[..., 1]), 1.0
         )
         per_anchor = jnp.sum(mbce * in_box, (-2, -1)) / area
-        loss_mask = jnp.sum(per_anchor * w) / denom
+        loss_mask = jnp.sum(per_anchor * sel_w) / denom
         loss = loss + mask_gain * loss_mask
         logs["loss_mask"] = loss_mask
 

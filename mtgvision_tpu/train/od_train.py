@@ -155,6 +155,36 @@ def build_scene_batch(
     return images, gt_boxes, gt_masks
 
 
+@functools.partial(jax.jit, static_argnames=("card_hw", "out_hw"))
+def obb_gt_from_ms(
+    card_ms: jnp.ndarray,  # (B, K, 3, 3)
+    valid: jnp.ndarray,  # (B, K) f32
+    card_hw: tuple[int, int],
+    out_hw: tuple[int, int],
+):
+    """OBB-kind ground truth: 3 keypoint boxes per card — card / top region /
+    bottom region (od_datasets.py:244-256) — warped by the placement
+    homographies and reduced to xyxy extents. → ((B, 3K, 4) boxes,
+    (B, 3K) labels, (B, 3K) valid)."""
+    import numpy as _np
+
+    from mtgvision_tpu.data.scene_gen import obb_keypoints
+
+    b, k = card_ms.shape[:2]
+    h, w = out_hw
+    kps = jnp.asarray(_np.asarray(obb_keypoints(card_hw), _np.float32))  # (3,4,2)
+    # (B,K,3,4,2): batch the 3 class polygons through each card's homography
+    pts = W.apply_transform_points(card_ms[:, :, None], kps)
+    x1 = jnp.clip(jnp.min(pts[..., 0], -1), 0, w)
+    y1 = jnp.clip(jnp.min(pts[..., 1], -1), 0, h)
+    x2 = jnp.clip(jnp.max(pts[..., 0], -1), 0, w)
+    y2 = jnp.clip(jnp.max(pts[..., 1], -1), 0, h)
+    boxes = jnp.stack([x1, y1, x2, y2], -1).reshape(b, k * 3, 4)
+    labels = jnp.tile(jnp.arange(3, dtype=jnp.int32)[None, None], (b, k, 1)).reshape(b, k * 3)
+    v = jnp.repeat(valid > 0.5, 3, axis=1)
+    return boxes, labels, v
+
+
 class DetectorDataset:
     """Host placement + device assembly; yields full train batches."""
 
@@ -222,6 +252,17 @@ class DetectorDataset:
             jnp.asarray(bg_ms),
             out_hw=out_hw,
         )
+        if cfg.kind == "obb":
+            # 3-class keypoint-box targets, no mask loss (detect-only kind)
+            ob, ol, ov = obb_gt_from_ms(
+                jnp.asarray(ms), jnp.asarray(valid), card_hw, out_hw
+            )
+            return {
+                "images": images,
+                "gt_boxes": ob,
+                "gt_labels": ol,
+                "gt_valid": ov,
+            }
         return {
             "images": images,
             "gt_boxes": gt_boxes,
@@ -284,7 +325,7 @@ def det_train_step(state: DetTrainState, batch, config: DetectorConfig):
             batch["gt_boxes"],
             batch["gt_labels"],
             batch["gt_valid"],
-            batch["gt_masks"],
+            batch.get("gt_masks"),  # absent for the obb (detect-only) kind
             img_hw,
             num_classes=config.num_classes,
         )
@@ -309,11 +350,11 @@ def make_det_train_step(config: DetectorConfig, mesh: Mesh | None = None):
         return jax.jit(step)
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P(mesh.axis_names[0]))
-    batch_sh = {
-        "images": shard, "gt_boxes": shard, "gt_labels": shard,
-        "gt_valid": shard, "gt_masks": shard,
-    }
-    return jax.jit(step, in_shardings=(repl, batch_sh), out_shardings=(repl, repl))
+    def sharded_step(state, batch):
+        batch = {k: jax.lax.with_sharding_constraint(v, shard) for k, v in batch.items()}
+        return step(state, batch)
+
+    return jax.jit(sharded_step, in_shardings=(repl, None), out_shardings=(repl, repl))
 
 
 def train(config: DetectorConfig, catalog=None, backgrounds=None, max_steps=None):

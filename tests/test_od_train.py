@@ -135,3 +135,36 @@ def test_det_train_step_dp_mesh(det_setup, mesh8):
     batch = shard_batch(mesh8, ds8.random_batch())
     state, logs = step(state, batch)
     assert np.isfinite(float(logs["loss"]))
+
+
+def test_obb_kind_training():
+    """OBB kind: 3-class keypoint-box GT, no mask loss, step runs."""
+    config = DetectorConfig(
+        model_size="n", kind="obb", img_size=IMG, batch_size=2, pool_size=8,
+        bg_pool_size=4, precision="fp32", warmup_steps=0,
+    )
+    assert config.num_classes == 3
+    cat = ProceduralCatalog(n_cards=8, card_hw=(48, 32))
+    ds = DetectorDataset(cat, ProceduralBackgrounds(bg_hw=(64, 64)), config, num_cards_max=2)
+    b = ds.random_batch()
+    assert b["gt_boxes"].shape == (2, 30, 4)
+    assert b["gt_labels"].shape == (2, 30)
+    assert "gt_masks" not in b
+    valid = np.asarray(b["gt_valid"])
+    labels = np.asarray(b["gt_labels"])
+    boxes = np.asarray(b["gt_boxes"])
+    for bi in range(2):
+        vs = np.where(valid[bi])[0]
+        if len(vs):
+            assert set(labels[bi, vs]) <= {0, 1, 2}
+            # top (1) and bottom (2) boxes sit inside the card (0) box
+            for base in vs[::3]:
+                card = boxes[bi, base]
+                for sub in (base + 1, base + 2):
+                    assert boxes[bi, sub, 0] >= card[0] - 1
+                    assert boxes[bi, sub, 2] <= card[2] + 1
+    state = create_det_state(config, jax.random.PRNGKey(0))
+    step = make_det_train_step(config)
+    state, logs = step(state, b)
+    assert np.isfinite(float(logs["loss"]))
+    assert "loss_mask" not in logs
