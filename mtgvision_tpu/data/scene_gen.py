@@ -141,14 +141,29 @@ def place_card(
     no_contains: bool = True,
     jitter_ratio: float = 0.3,
     max_attempts: int = 10,
+    use_native: bool = True,
 ) -> Optional[np.ndarray]:
     """Rejection-sample a placement homography or give up (od_datasets.py:287-377).
 
-    Tests per attempt (numpy polygon math, no GEOS):
+    Dispatches to the native C++ sampler (native/mtgv_place.cpp, ~µs per
+    attempt) when built; the numpy path below is the reference
+    implementation/fallback. Tests per attempt:
     - visible fraction inside the frame ≥ min_visible_edge,
     - vs every placed card: both diff-area ratios ≥ min_visible,
     - no full containment either way.
     """
+    if use_native:
+        from mtgvision_tpu.utils import native as _n
+
+        m = _n.place_card_native(
+            rng, card_hw, bg_hw, existing,
+            min_area_ratio=min_area_ratio, max_area_ratio=max_area_ratio,
+            size_sample_mode=size_sample_mode, min_visible=min_visible,
+            min_visible_edge=min_visible_edge, no_contains=no_contains,
+            jitter_ratio=jitter_ratio, max_attempts=max_attempts,
+        )
+        if _n.HAVE_NATIVE:
+            return m  # None = native sampler gave up (same contract)
     bh, bw = bg_hw
     ch, cw = card_hw
     diag = math.hypot(ch, cw)

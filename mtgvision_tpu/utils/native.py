@@ -42,6 +42,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.mtgv_decode_jpeg_resize.restype = ctypes.c_int
         lib.mtgv_encode_jpeg.restype = ctypes.c_long
         lib.mtgv_decode_jpeg_batch.restype = ctypes.c_int
+        lib.mtgv_place_card.restype = ctypes.c_int
         assert lib.mtgv_version() == 1
         _lib = lib
         HAVE_NATIVE = True
@@ -148,3 +149,48 @@ def _cv2_decode(data: bytes) -> np.ndarray:
     if bgr is None:
         raise ValueError("jpeg decode failed (cv2)")
     return cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+
+
+def place_card_native(
+    rng,
+    card_hw,
+    bg_hw,
+    existing,
+    *,
+    min_area_ratio=0.02,
+    max_area_ratio=0.9,
+    size_sample_mode="log_uniform",
+    min_visible=0.5,
+    min_visible_edge=1.0,
+    no_contains=True,
+    jitter_ratio=0.3,
+    max_attempts=10,
+):
+    """Native rejection-sampling placement (native/mtgv_place.cpp); returns
+    the (3,3) homography or None. Signature mirrors scene_gen.place_card."""
+    lib = _load()
+    if lib is None:
+        return None  # caller falls back to the numpy path
+    ex = (
+        np.ascontiguousarray(np.stack(existing), np.float64)
+        if existing
+        else np.zeros((0, 4, 2), np.float64)
+    )
+    out_m = np.empty(9, np.float64)
+    out_quad = np.empty(8, np.float64)
+    rc = lib.mtgv_place_card(
+        ctypes.c_double(card_hw[0]), ctypes.c_double(card_hw[1]),
+        ctypes.c_double(bg_hw[0]), ctypes.c_double(bg_hw[1]),
+        ex.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(ex),
+        ctypes.c_double(min_area_ratio), ctypes.c_double(max_area_ratio),
+        1 if size_sample_mode == "log_uniform" else 0,
+        ctypes.c_double(min_visible), ctypes.c_double(min_visible_edge),
+        1 if no_contains else 0,
+        ctypes.c_double(jitter_ratio), int(max_attempts),
+        ctypes.c_uint64(int(rng.integers(1, 2**63))),
+        out_m.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        out_quad.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    if rc != 1:
+        return None
+    return out_m.reshape(3, 3)

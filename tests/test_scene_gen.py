@@ -173,3 +173,56 @@ def test_yolo_dataset_writer(gen, tmp_path):
         coords = np.asarray([float(v) for v in vals[1:]])
         assert len(coords) == 16  # 8 points × 2
         assert (coords >= 0).all() and (coords <= 1).all()
+
+
+def test_place_card_native_parity():
+    """Native placement honors the same validity contract as the numpy path."""
+    from mtgvision_tpu.utils import native
+
+    native._load()
+    if not native.HAVE_NATIVE:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(7)
+    frame = np.asarray([(0, 0), (640, 0), (640, 640), (0, 640)], float)
+    placed = []
+    n_ok = 0
+    for _ in range(20):
+        m = place_card(rng, (448, 320), (640, 640), placed, use_native=True)
+        if m is None:
+            continue
+        quad = apply_m(card_bbox((448, 320)), m)
+        qa = poly_area(quad)
+        assert poly_intersection_area(quad, frame) / qa > 0.99
+        for p in placed:
+            inter = poly_intersection_area(quad, convex_hull(p))
+            assert inter / qa <= 0.5 + 1e-6
+            assert inter / poly_area(p) <= 0.5 + 1e-6
+        placed.append(quad)
+        n_ok += 1
+    assert n_ok >= 3
+
+
+def test_place_card_native_speed():
+    from mtgvision_tpu.utils import native
+    import time
+
+    native._load()
+    if not native.HAVE_NATIVE:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(1)
+    placed = []
+    t0 = time.perf_counter()
+    for _ in range(50):
+        m = place_card(rng, (448, 320), (640, 640), placed, use_native=True)
+        if m is not None and len(placed) < 8:
+            placed.append(apply_m(card_bbox((448, 320)), m))
+    dt_native = time.perf_counter() - t0
+    rng = np.random.default_rng(1)
+    placed = []
+    t0 = time.perf_counter()
+    for _ in range(50):
+        m = place_card(rng, (448, 320), (640, 640), placed, use_native=False)
+        if m is not None and len(placed) < 8:
+            placed.append(apply_m(card_bbox((448, 320)), m))
+    dt_py = time.perf_counter() - t0
+    assert dt_native < dt_py  # native must actually be faster
