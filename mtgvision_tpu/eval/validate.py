@@ -12,7 +12,7 @@ the reference's one-card-at-a-time CoreML loop.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

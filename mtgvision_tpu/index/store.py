@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mtgvision_tpu.ops.topk import cosine_topk, l2_normalize, topk_scores
+from mtgvision_tpu.ops.topk import l2_normalize, topk_scores
 
 
 @dataclasses.dataclass

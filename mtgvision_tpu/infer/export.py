@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import json
 import pathlib
-from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ All 12 size factories are provided (convnextv2ae.py:484-541).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

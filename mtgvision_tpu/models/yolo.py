@@ -21,7 +21,7 @@ mask, SURVEY.md §7 hard parts).
 from __future__ import annotations
 
 import math
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -14,8 +14,6 @@ pipeline combinators live in mtgvision_tpu.utils.random.
 from __future__ import annotations
 
 import functools
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -81,6 +81,59 @@ def cosine_topk(
     return topk_scores(scores, k)
 
 
+def cosine_topk_sharded(
+    queries: jnp.ndarray,
+    db_sharded: jnp.ndarray,
+    k: int,
+    mesh,
+    axis: str | None = None,
+):
+    """Multi-chip exact top-k: database rows sharded over a 1-D mesh.
+
+    Explicit collective layout (SURVEY.md §2.5 plan): each chip computes a
+    LOCAL matmul + top-k over its row shard (queries replicated), then only
+    the (B, k) candidates are all-gathered over ICI and merged — the score
+    matrix never crosses chips, so inter-chip traffic is O(B·k·n_dev) instead
+    of O(B·N).
+
+    ``db_sharded``: (N, D) with N sharded on ``axis``; returns global row
+    indices.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = axis or mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    n_total = db_sharded.shape[0]
+    shard_rows = n_total // n_dev
+
+    def local(q, db_local):
+        qn = l2_normalize(q.astype(jnp.float32))
+        scores = jnp.dot(
+            qn.astype(jnp.bfloat16),
+            db_local.astype(jnp.bfloat16).T,
+            preferred_element_type=jnp.float32,
+        )
+        v, i = topk_scores(scores, k)
+        # local → global row indices
+        shard_id = jax.lax.axis_index(axis)
+        i = i + shard_id * shard_rows
+        # gather all shards' candidates: (B, n_dev·k) each
+        v_all = jax.lax.all_gather(v, axis, axis=1, tiled=True)
+        i_all = jax.lax.all_gather(i, axis, axis=1, tiled=True)
+        vf, sel = lax.top_k(v_all, k)
+        return vf, jnp.take_along_axis(i_all, sel, axis=1)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(queries, db_sharded)
+
+
 # ---------------------------------------------------------------------------
 # Pallas streaming kernel — scores never touch HBM
 # ---------------------------------------------------------------------------

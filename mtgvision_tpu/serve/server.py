@@ -207,7 +207,6 @@ def main(host: str = "0.0.0.0", port: int = 8000, static_dir=DEFAULT_STATIC):
     given via env/args in later rounds)."""
     from aiohttp import web
 
-    from mtgvision_tpu.infer.pipeline import build_e2e_pipeline  # noqa: F401
     from mtgvision_tpu.infer.pipeline import FramePipeline
     from mtgvision_tpu.models.convnextv2ae import AE_SIZES, ConvNeXtV2Encoder
     from mtgvision_tpu.models.yolo import YoloSeg

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-from typing import Any, Optional, get_args, get_origin
+from typing import Optional, get_args, get_origin
 
 
 def _parse_bool(v: str) -> bool:

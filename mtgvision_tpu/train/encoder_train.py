@@ -27,7 +27,6 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import FrozenDict
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mtgvision_tpu.models.convnextv2ae import AE_SIZES, ConvNeXtV2Ae

@@ -18,7 +18,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 from functools import partial
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +38,6 @@ from mtgvision_tpu.data.scene_gen import (
     card_bbox,
     cover_rotate_matrix,
     place_card,
-    seg_notch_polygon,
 )
 from mtgvision_tpu.models.yolo import YoloSeg
 from mtgvision_tpu.ops import image as I

@@ -6,6 +6,7 @@ import pytest
 from mtgvision_tpu.index import VectorPoint, VectorStore
 from mtgvision_tpu.ops.topk import cosine_topk, topk_scores
 
+import jax
 import jax.numpy as jnp
 
 
@@ -118,5 +119,21 @@ def test_cosine_topk_pallas_interpret(rng):
     q = rng.standard_normal((4, 64)).astype(np.float32)
     v1, i1 = cosine_topk(jnp.asarray(q), jnp.asarray(db), k=5)
     v2, i2 = cosine_topk_pallas(jnp.asarray(q), jnp.asarray(db), k=5, tile_n=512, interpret=True)
+    assert (np.asarray(i1) == np.asarray(i2)).all()
+    assert np.allclose(v1, v2, atol=2e-2)
+
+
+def test_cosine_topk_sharded(mesh8, rng):
+    """shard_map path: per-shard topk + ICI candidate merge ≡ single-device."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mtgvision_tpu.ops.topk import cosine_topk_sharded
+
+    db = rng.standard_normal((800, 64)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    q = rng.standard_normal((4, 64)).astype(np.float32)
+    db_sh = jax.device_put(jnp.asarray(db), NamedSharding(mesh8, P("data")))
+    v1, i1 = cosine_topk(jnp.asarray(q), jnp.asarray(db), k=5)
+    v2, i2 = cosine_topk_sharded(jnp.asarray(q), db_sh, k=5, mesh=mesh8)
     assert (np.asarray(i1) == np.asarray(i2)).all()
     assert np.allclose(v1, v2, atol=2e-2)
