@@ -1,0 +1,153 @@
+"""End-to-end system evaluation: detect → orient → rectify → embed → match
+accuracy on synthetic scenes with known ground truth.
+
+This is the north-star metric harness (BASELINE.md: "top-1 card-ID accuracy
+matching the reference pipeline"): generate detector scenes where every placed
+card's identity and homography are known, run the full FramePipeline, and
+score:
+
+- detection recall (a GT card matched by a valid detection, center distance),
+- orientation quality (corner error vs the GT quad, orientation-aware),
+- top-1 / top-5 card-ID accuracy of the index match for detected cards.
+
+The reference has no automated equivalent — its closest is the manual webcam
+loop (od_cam.py) plus encoder-only validation (encoder_validate.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from mtgvision_tpu.data.scene_gen import SceneGenerator, apply_m, card_bbox
+
+
+@dataclasses.dataclass
+class E2EStats:
+    n_gt: int = 0
+    n_detected: int = 0
+    n_top1: int = 0
+    n_top5: int = 0
+    corner_err_sum: float = 0.0
+
+    @property
+    def recall(self) -> float:
+        return self.n_detected / max(self.n_gt, 1)
+
+    @property
+    def top1(self) -> float:
+        return self.n_top1 / max(self.n_detected, 1)
+
+    @property
+    def top5(self) -> float:
+        return self.n_top5 / max(self.n_detected, 1)
+
+    @property
+    def mean_corner_err(self) -> float:
+        return self.corner_err_sum / max(self.n_detected, 1)
+
+    def __str__(self):
+        return (
+            f"recall={self.recall:.3f} top1={self.top1:.3f} top5={self.top5:.3f} "
+            f"corner_err={self.mean_corner_err:.1f}px (gt={self.n_gt}, det={self.n_detected})"
+        )
+
+
+def evaluate_e2e(
+    pipeline,  # infer.pipeline.FramePipeline (store attached)
+    gen: SceneGenerator,
+    n_scenes: int = 50,
+    match_dist: float = 64.0,
+) -> E2EStats:
+    """Run the pipeline over generated scenes and score against the known
+    placements. A GT card counts as detected when a valid detection's corner
+    centroid lies within ``match_dist`` px of the GT quad centroid."""
+    import jax.numpy as jnp
+
+    stats = E2EStats()
+    card_hw = gen.catalog.card_hw
+    for _ in range(n_scenes):
+        # reach into the generator for GT: replicate SceneGenerator.random()
+        # but keep (card, M) pairs
+        s, gt = _scene_with_gt(gen)
+        out = pipeline(jnp.asarray(s)[None])
+        valid = np.asarray(out["valid"][0])
+        corners = np.asarray(out["corners"][0])
+        match_idx = out["match_idx"]
+
+        det_centroids = corners.mean(1)  # (D, 2)
+        used = set()
+        for card, m in gt:
+            stats.n_gt += 1
+            quad = apply_m(card_bbox(card_hw), m)
+            c = quad.mean(0)
+            best, best_d = None, match_dist
+            for d in np.where(valid)[0]:
+                if d in used:
+                    continue
+                dist = float(np.linalg.norm(det_centroids[d] - c))
+                if dist < best_d:
+                    best, best_d = d, dist
+            if best is None:
+                continue
+            used.add(best)
+            stats.n_detected += 1
+            stats.corner_err_sum += float(
+                np.linalg.norm(corners[best] - quad, axis=1).mean()
+            )
+            if match_idx is not None and pipeline.store is not None:
+                ids = []
+                for k in range(match_idx.shape[-1]):
+                    ridx = int(np.asarray(match_idx[0, best, k]))
+                    if ridx < len(pipeline.store):
+                        ids.append(pipeline.store._ids[ridx])
+                if ids[:1] == [card.id]:
+                    stats.n_top1 += 1
+                if card.id in ids[:5]:
+                    stats.n_top5 += 1
+    return stats
+
+
+def _scene_with_gt(gen: SceneGenerator):
+    """SceneGenerator.random() variant that returns (image, [(card, M), …])."""
+    import jax
+    import jax.numpy as jnp
+
+    from mtgvision_tpu.data.scene_gen import (
+        compose_scene,
+        cover_rotate_matrix,
+        place_card,
+    )
+
+    card_hw = gen.catalog.card_hw
+    bg_hw = gen.bg_size_hw
+    n_cards = int(gen.rng.integers(gen.num_cards_min, gen.num_cards_max + 1))
+    from mtgvision_tpu.data.scene_gen import MAX_CARDS
+
+    ms, polys, cards = [], [], []
+    for _ in range(n_cards):
+        m = place_card(gen.rng, card_hw, bg_hw, polys)
+        if m is None:
+            continue
+        card = gen.catalog.ran_card(gen.rng)
+        cards.append(card)
+        ms.append(m)
+        polys.append(apply_m(card_bbox(card_hw), m))
+
+    cards_arr = np.zeros((MAX_CARDS, *card_hw, 3), np.float32)
+    ms_arr = np.tile(np.eye(3, dtype=np.float32), (MAX_CARDS, 1, 1))
+    valid = np.zeros(MAX_CARDS, np.float32)
+    for i, (card, m) in enumerate(zip(cards, ms)):
+        cards_arr[i] = gen.catalog.get_image(card)
+        ms_arr[i] = m.astype(np.float32)
+        valid[i] = 1.0
+
+    bg = gen.backgrounds.ran_image(gen.rng)
+    bg_m = cover_rotate_matrix(gen.rng, bg.shape[:2], bg_hw).astype(np.float32)
+    img = compose_scene(
+        gen._next_key(), jnp.asarray(bg), jnp.asarray(bg_m),
+        jnp.asarray(cards_arr), jnp.asarray(ms_arr), jnp.asarray(valid),
+        out_hw=bg_hw,
+    )
+    return np.asarray(img), list(zip(cards, ms))
