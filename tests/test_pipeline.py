@@ -59,3 +59,35 @@ def test_bench_harness_builds():
     )
     idx, valid = run(frames)
     assert idx.shape == (1, 2, 3)
+
+
+def test_e2e_eval_harness():
+    """Harness runs end-to-end (untrained models → low/zero recall is fine)."""
+    from mtgvision_tpu.data.catalog import ProceduralBackgrounds, ProceduralCatalog
+    from mtgvision_tpu.data.scene_gen import SceneGenerator
+    from mtgvision_tpu.eval.e2e_eval import evaluate_e2e
+    from mtgvision_tpu.index import VectorPoint, VectorStore
+
+    rng = jax.random.PRNGKey(0)
+    det = YoloSeg(num_classes=1, size="n")
+    det_vars = det.init(rng, jnp.zeros((1, 160, 160, 3)), False)
+    enc = ConvNeXtV2Encoder(
+        image_hw=(96, 64), z_size=96, head_type="conv+linear",
+        depths=(1, 1, 1, 1), dims=(8, 16, 24, 32),
+    )
+    enc_vars = {"params": enc.init(rng, jnp.zeros((1, 96, 64, 3)))["params"]}
+    cat = ProceduralCatalog(n_cards=8, card_hw=(112, 80))
+    store = VectorStore(dim=96)
+    store.save_points(
+        [VectorPoint(id=c.id, vector=np.random.default_rng(i).standard_normal(96))
+         for i, c in enumerate(cat)]
+    )
+    pipe = FramePipeline(det, det_vars, enc, enc_vars, store=store, max_det=4, crop_hw=(96, 64))
+    gen = SceneGenerator(
+        cat, ProceduralBackgrounds(bg_hw=(96, 96)), bg_size_hw=(160, 160),
+        num_cards_min=1, num_cards_max=2, seed=5,
+    )
+    stats = evaluate_e2e(pipe, gen, n_scenes=3)
+    assert stats.n_gt >= 3
+    assert 0.0 <= stats.recall <= 1.0
+    assert str(stats)
