@@ -1,0 +1,162 @@
+"""Full-system assembly + evaluation runner.
+
+Loads trained detector/encoder checkpoints, populates the vector index from a
+catalog, builds the fused FramePipeline, and scores the complete system
+(detect → orient → rectify → embed → match) with eval/e2e_eval.py — the
+closest reference analogue is the manual webcam loop (mtgvision/od_cam.py)
+plus encoder-only validation (mtgvision/encoder_validate.py:22-114); here it
+is one reproducible command:
+
+    python -m mtgvision_tpu.eval.system --det <ckpt> --enc <ckpt> \
+        --n-cards 512 --n-scenes 40
+
+Checkpoint dirs may be either a slim inference export ({params[,batch_stats]}
+orbax tree, as committed under artifacts_r1/) or a train CheckpointManager dir
+(step_XXXXXXXX subdirs — the latest/best step is used and the train-state
+wrapper is stripped).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _restore_tree(path: str | pathlib.Path) -> dict:
+    """Orbax tree from a slim export dir or a CheckpointManager dir."""
+    import orbax.checkpoint as ocp
+
+    p = pathlib.Path(path)
+    if not (p / "manifest.ocdbt").exists():
+        steps = sorted(p.glob("step_*"))
+        if not steps:
+            raise FileNotFoundError(f"no checkpoint under {p}")
+        p = steps[-1]
+    raw = ocp.PyTreeCheckpointer().restore(str(p.resolve()))
+    if "params" not in raw:
+        # slim export of bare params (e.g. artifacts_r1/enc)
+        return {"params": raw}
+    # train-state trees carry params/batch_stats alongside opt_state — strip
+    return {k: raw[k] for k in ("params", "batch_stats", "loss_weights") if k in raw and raw[k] is not None}
+
+
+def load_detector(ckpt: str, size: str = "s", num_classes: int = 1, dtype=jnp.bfloat16):
+    """(YoloSeg, variables) from a checkpoint dir."""
+    from mtgvision_tpu.models.yolo import YoloSeg
+
+    tree = _restore_tree(ckpt)
+    model = YoloSeg(num_classes=num_classes, size=size, dtype=dtype)
+    variables = {"params": tree["params"]}
+    if tree.get("batch_stats"):
+        variables["batch_stats"] = tree["batch_stats"]
+    return model, variables
+
+
+def load_encoder(
+    ckpt: str,
+    model_name: str = "cnvnxt2ae_atto",
+    head_type: str = "conv+linear",
+    dtype=jnp.bfloat16,
+):
+    """(ConvNeXtV2Encoder, variables) from an encoder/AE checkpoint dir."""
+    from mtgvision_tpu.models.convnextv2ae import AE_SIZES, ConvNeXtV2Encoder
+    from mtgvision_tpu.train.encoder_train import MODELS
+
+    tree = _restore_tree(ckpt)
+    params = tree["params"]
+    # AE train states hold encoder params under params["encoder"]
+    if "encoder" in params:
+        params = params["encoder"]
+    model = ConvNeXtV2Encoder(
+        image_hw=(192, 128), z_size=768, head_type=head_type,
+        dtype=dtype, **AE_SIZES[MODELS[model_name]],
+    )
+    return model, {"params": params}
+
+
+def build_system(
+    det_ckpt: str,
+    enc_ckpt: str,
+    catalog=None,
+    det_size: str = "s",
+    enc_model: str = "cnvnxt2ae_atto",
+    max_det: int = 8,
+    score_thresh: float = 0.25,
+    populate_batch: int = 64,
+):
+    """(FramePipeline with store attached, catalog). Populates the index by
+    embedding every catalog card's crop (qdrant_populate.py:70-90 semantics)."""
+    from mtgvision_tpu.data.catalog import ProceduralCatalog
+    from mtgvision_tpu.index.populate import populate_card_info, populate_index
+    from mtgvision_tpu.index.store import VectorStore
+    from mtgvision_tpu.infer.pipeline import FramePipeline
+
+    if catalog is None:
+        catalog = ProceduralCatalog(n_cards=512)
+
+    det, det_vars = load_detector(det_ckpt, size=det_size)
+    enc, enc_vars = load_encoder(enc_ckpt, model_name=enc_model)
+
+    embed = jax.jit(lambda x: enc.apply(enc_vars, x))
+
+    def predict_batch(crops: np.ndarray) -> np.ndarray:
+        return np.asarray(embed(jnp.asarray(crops, jnp.float32)))
+
+    store = VectorStore(dim=768)
+    populate_index(store, catalog, predict_batch, batch_size=populate_batch,
+                   crop_hw=(192, 128))
+    populate_card_info(store, catalog)
+
+    pipe = FramePipeline(
+        det, det_vars, enc, enc_vars, store=store,
+        max_det=max_det, score_thresh=score_thresh,
+    )
+    return pipe, catalog
+
+
+def main(argv=None):
+    from mtgvision_tpu.data.catalog import ProceduralBackgrounds, ProceduralCatalog
+    from mtgvision_tpu.data.scene_gen import SceneGenerator
+    from mtgvision_tpu.eval.e2e_eval import evaluate_e2e
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--det", required=True, help="detector checkpoint dir")
+    ap.add_argument("--enc", required=True, help="encoder checkpoint dir")
+    ap.add_argument("--det-size", default="s")
+    ap.add_argument("--enc-model", default="cnvnxt2ae_atto")
+    ap.add_argument("--n-cards", type=int, default=512)
+    ap.add_argument("--n-scenes", type=int, default=40)
+    ap.add_argument("--score-thresh", type=float, default=0.25)
+    ap.add_argument("--max-cards", type=int, default=4)
+    ap.add_argument("--json-out", default=None)
+    args = ap.parse_args(argv)
+
+    catalog = ProceduralCatalog(n_cards=args.n_cards)
+    pipe, _ = build_system(
+        args.det, args.enc, catalog,
+        det_size=args.det_size, enc_model=args.enc_model,
+        score_thresh=args.score_thresh,
+    )
+    gen = SceneGenerator(
+        catalog, ProceduralBackgrounds(), num_cards_min=1, num_cards_max=args.max_cards
+    )
+    stats = evaluate_e2e(pipe, gen, n_scenes=args.n_scenes)
+    print(stats)
+    rec = {
+        "recall": stats.recall, "top1": stats.top1, "top5": stats.top5,
+        "corner_err_px": stats.mean_corner_err,
+        "n_gt": stats.n_gt, "n_detected": stats.n_detected,
+    }
+    print(json.dumps(rec))
+    if args.json_out:
+        pathlib.Path(args.json_out).write_text(json.dumps(rec))
+    return stats
+
+
+if __name__ == "__main__":
+    main()

@@ -239,4 +239,7 @@ def _score_all(queries, mat, valid):
 
 def _query_jit(queries, mat, valid, k: int):
     scores = _score_all(queries, mat, valid)
-    return topk_scores(scores, k)
+    v, i = topk_scores(scores, k)
+    # bf16 rounding of unit vectors can push a perfect match ~0.3% above 1.0;
+    # clamp so cosine-score semantics (≤ 1.0, thresholds) stay exact
+    return jnp.clip(v, -1.0, 1.0), i

@@ -185,12 +185,12 @@ def build_e2e_pipeline(
 
     rng = jax.random.PRNGKey(seed)
     det = YoloSeg(num_classes=1, size=det_size, dtype=jnp.bfloat16)
-    det_vars = det.init(rng, jnp.zeros((1, *frame_hw, 3)), False)
+    det_vars = jax.jit(det.init, static_argnums=2)(rng, jnp.zeros((1, *frame_hw, 3)), False)
     enc = ConvNeXtV2Encoder(
         image_hw=(192, 128), z_size=768, head_type="conv+linear",
         dtype=jnp.bfloat16, **AE_SIZES[enc_size],
     )
-    enc_vars = {"params": enc.init(rng, jnp.zeros((1, 192, 128, 3)))["params"]}
+    enc_vars = {"params": jax.jit(enc.init)(rng, jnp.zeros((1, 192, 128, 3)))["params"]}
 
     pipe = FramePipeline(det, det_vars, enc, enc_vars, store=None, max_det=max_det)
     db = jax.random.normal(jax.random.PRNGKey(1), (n_index, 768), jnp.float32)

@@ -78,7 +78,10 @@ def cosine_topk(
         d.astype(jnp.bfloat16).T,
         preferred_element_type=jnp.float32,
     )
-    return topk_scores(scores, k)
+    v, i = topk_scores(scores, k)
+    # bf16 rounding of unit vectors can push a perfect match ~0.3% above 1.0;
+    # clamp so cosine-score semantics (≤ 1.0, thresholds) stay exact
+    return jnp.clip(v, -1.0, 1.0), i
 
 
 def cosine_topk_sharded(
@@ -122,7 +125,7 @@ def cosine_topk_sharded(
         v_all = jax.lax.all_gather(v, axis, axis=1, tiled=True)
         i_all = jax.lax.all_gather(i, axis, axis=1, tiled=True)
         vf, sel = lax.top_k(v_all, k)
-        return vf, jnp.take_along_axis(i_all, sel, axis=1)
+        return jnp.clip(vf, -1.0, 1.0), jnp.take_along_axis(i_all, sel, axis=1)
 
     fn = shard_map(
         local,
@@ -240,4 +243,4 @@ def cosine_topk_pallas(
         ],
         interpret=interpret,
     )(q, db.astype(jnp.bfloat16))
-    return v[:, :k], i[:, :k]
+    return jnp.clip(v[:, :k], -1.0, 1.0), i[:, :k]

@@ -216,12 +216,12 @@ def main(host: str = "0.0.0.0", port: int = 8000, static_dir=DEFAULT_STATIC):
 
     rng = jax.random.PRNGKey(0)
     det = YoloSeg(num_classes=1, size="s", dtype=jnp.bfloat16)
-    det_vars = det.init(rng, jnp.zeros((1, 640, 640, 3)), False)
+    det_vars = jax.jit(det.init, static_argnums=2)(rng, jnp.zeros((1, 640, 640, 3)), False)
     enc = ConvNeXtV2Encoder(
         image_hw=(192, 128), z_size=768, head_type="conv+linear",
         dtype=jnp.bfloat16, **AE_SIZES["nano"],
     )
-    enc_vars = {"params": enc.init(rng, jnp.zeros((1, 192, 128, 3)))["params"]}
+    enc_vars = {"params": jax.jit(enc.init)(rng, jnp.zeros((1, 192, 128, 3)))["params"]}
     pipe = FramePipeline(det, det_vars, enc, enc_vars)
     app = make_app(lambda: TrackerCtx(pipe), static_dir)
     web.run_app(app, host=host, port=port)

@@ -75,6 +75,12 @@ class EncoderConfig:
     num_workers: int = 6
     # parallelism (new — reference is single-device)
     n_devices: int = 0  # 0 = all local devices
+    # Fuse this many optimizer steps into ONE jitted lax.scan program —
+    # device-side pool sampling (data/encoder_gen.py make_pair_batch_sampled)
+    # makes the whole sample→augment→fwd/bwd→update loop host-free. Critical
+    # when per-dispatch latency is high (tunneled TPUs). 0/1 = per-step
+    # dispatch (the test/path-parity default).
+    scan_steps: int = 0
 
     @property
     def x_size_hw(self) -> tuple[int, int]:
@@ -147,7 +153,7 @@ def make_optimizer(config: EncoderConfig) -> optax.GradientTransformation:
 def create_state(config: EncoderConfig, rng: jax.Array) -> TrainState:
     model = build_model(config)
     h, w = config.x_size_hw
-    params = model.init(rng, jnp.zeros((1, h, w, 3), jnp.float32), True)["params"]
+    params = jax.jit(model.init, static_argnums=2)(rng, jnp.zeros((1, h, w, 3), jnp.float32), True)["params"]
 
     loss_weights = {}
     for name in (config.loss_contrastive, config.loss_set_contrastive):
@@ -286,6 +292,33 @@ def train(
 
     total = max_steps or config.max_steps
     start = int(jax.device_get(state.step))
+
+    if (
+        config.scan_steps > 1
+        and dataset.use_device_pool
+        and dataset.device_sampling
+        and profile_steps is None
+    ):
+        scan_fn = make_train_scan(config, dataset, mesh)
+        key = jax.random.fold_in(jax.random.PRNGKey(config.seed), 2)
+        i = start
+        while i < total:
+            state, logs = scan_fn(state, jax.random.fold_in(key, i))
+            prev, i = i, i + config.scan_steps
+            logger.log(i, jax.device_get(logs))
+            if config.img_log_every and i // config.img_log_every > prev // config.img_log_every:
+                vis_batch = dataset.random_batch(8)
+                logger.log_images(i, "x", _np.asarray(vis_batch["x"]))
+                if "y" in vis_batch:
+                    logger.log_images(i, "y", _np.asarray(vis_batch["y"]))
+            if i // config.ckpt_every > prev // config.ckpt_every or i >= total:
+                ckpt.save(
+                    i, state, config=dataclasses.asdict(config),
+                    score=float(jax.device_get(logs["loss"])),
+                )
+        logger.close()
+        return state
+
     for i in range(start, total):
         if profile_steps and i == profile_steps[0]:
             jax.profiler.start_trace(str(pathlib.Path(config.ckpt_dir) / "trace"))
@@ -323,6 +356,55 @@ def _cli(argv=None):
 
 
 import pathlib  # noqa: E402  (used by train())
+
+
+def make_train_scan(config: EncoderConfig, dataset, mesh: Mesh | None = None):
+    """``config.scan_steps`` steps fused into one jitted program (see
+    DetectorConfig.scan_steps for rationale). ``dataset`` must be an
+    EncoderDataset with device pools + device sampling; the pools are closed
+    over as HBM-resident constants. Returns jitted
+    ``(state, key) -> (state, chunk-mean logs)``."""
+    from mtgvision_tpu.data.encoder_gen import make_pair_batch_sampled
+
+    pool, bgp = dataset._pools()
+    step = partial(train_step, config=config)
+    shard = NamedSharding(mesh, P(mesh.axis_names[0])) if mesh is not None else None
+
+    def body(state, key):
+        out = make_pair_batch_sampled(
+            key,
+            pool.images,
+            bgp.images,
+            pool.slot_labels_dev,
+            pool.similar_table,
+            batch_size=config.batch_size,
+            similar_neg_prob=config.similar_neg_prob if dataset.paired else 0.0,
+            target_is_input_prob=config.target_is_input_prob,
+            x_size_hw=dataset.x_size_hw,
+            y_size_hw=dataset.y_size_hw,
+            half_upsidedown=dataset.half_upsidedown,
+        )
+        batch = {"x": out["x"], "x_labels": out["x_labels"]}
+        if dataset.targets:
+            batch["y"] = out["y"]
+        if dataset.paired:
+            batch["x2"] = out["x2"]
+            batch["x2_labels"] = out["x2_labels"]
+        if shard is not None:
+            batch = {k: jax.lax.with_sharding_constraint(v, shard) for k, v in batch.items()}
+        return step(state, batch)
+
+    def run(state, key):
+        keys = jax.random.split(key, config.scan_steps)
+        state, logs = jax.lax.scan(body, state, keys)
+        return state, jax.tree.map(lambda x: x.mean(0), logs)
+
+    if mesh is None:
+        return jax.jit(run, donate_argnums=0)
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        run, in_shardings=(repl, None), out_shardings=(repl, repl), donate_argnums=0
+    )
 
 
 def make_train_step(config: EncoderConfig, mesh: Mesh | None = None):

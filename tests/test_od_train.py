@@ -168,3 +168,52 @@ def test_obb_kind_training():
     state, logs = step(state, b)
     assert np.isfinite(float(logs["loss"]))
     assert "loss_mask" not in logs
+
+
+def test_scene_pool_dataset(det_setup):
+    from mtgvision_tpu.train.od_train import ScenePoolDataset
+
+    config, ds = det_setup
+    pool = ScenePoolDataset(ds, n_scenes=4)
+    assert pool.n_scenes == 4
+    assert pool.images_u8.shape == (4, IMG, IMG, 3)
+    assert pool.images_u8.dtype == jnp.uint8
+    b = pool.random_batch()
+    assert b["images"].shape == (2, IMG, IMG, 3)
+    assert b["images"].dtype == jnp.float32
+    assert b["gt_boxes"].shape == (2, 10, 4)
+    assert b["gt_masks"].shape == (2, 10, IMG // 4, IMG // 4)
+    v = np.asarray(b["images"])
+    assert np.isfinite(v).all() and v.min() >= 0.0 and v.max() <= 1.0
+    # two draws share pool geometry but differ photometrically
+    b2 = pool.random_batch()
+    assert b2["images"].shape == b["images"].shape
+
+
+def test_scene_pool_cache_roundtrip(det_setup, tmp_path):
+    from mtgvision_tpu.train.od_train import ScenePoolDataset
+
+    config, ds = det_setup
+    cache = str(tmp_path / "pool.npz")
+    p1 = ScenePoolDataset(ds, n_scenes=4, cache_path=cache)
+    p2 = ScenePoolDataset(ds, n_scenes=4, cache_path=cache)
+    assert np.array_equal(np.asarray(p1.images_u8), np.asarray(p2.images_u8))
+    assert np.array_equal(np.asarray(p1.boxes), np.asarray(p2.boxes))
+    assert p2.with_masks == p1.with_masks
+
+
+def test_det_train_scan(det_setup):
+    from mtgvision_tpu.train.od_train import ScenePoolDataset, make_det_train_scan
+
+    config, ds = det_setup
+    import dataclasses
+
+    cfg = dataclasses.replace(config, scan_steps=3)
+    pool = ScenePoolDataset(ds, n_scenes=4)
+    state = create_det_state(cfg, jax.random.PRNGKey(0))
+    scan = make_det_train_scan(cfg, pool)
+    state, logs = scan(state, jax.random.PRNGKey(1))
+    assert int(jax.device_get(state.step)) == 3
+    assert np.isfinite(float(logs["loss"]))
+    state, logs = scan(state, jax.random.PRNGKey(2))
+    assert int(jax.device_get(state.step)) == 6

@@ -82,6 +82,26 @@ def test_train_step_dp_mesh(mesh8):
     assert np.allclose(float(logs["loss"]), float(logs1["loss"]), rtol=1e-3)
 
 
+def test_train_scan():
+    from mtgvision_tpu.data.catalog import ProceduralBackgrounds, ProceduralCatalog
+    from mtgvision_tpu.data.encoder_gen import EncoderDataset
+    from mtgvision_tpu.train.encoder_train import make_train_scan
+
+    config = EncoderConfig(
+        loss_recon="", loss_contrastive="circle", batch_size=4, scan_steps=3, **TINY
+    )
+    cat = ProceduralCatalog(n_cards=8, card_hw=(192, 128))
+    ds = EncoderDataset(
+        cat, ProceduralBackgrounds(bg_hw=(192, 192)), default_batch_size=4,
+        targets=False, pool_size=8, bg_pool_size=4,
+    )
+    state = create_state(config, jax.random.PRNGKey(0))
+    scan = make_train_scan(config, ds)
+    state, logs = scan(state, jax.random.PRNGKey(1))
+    assert int(jax.device_get(state.step)) == 3
+    assert np.isfinite(float(logs["loss"]))
+
+
 def test_graft_entry():
     import sys
 
