@@ -370,40 +370,49 @@ def make_train_scan(config: EncoderConfig, dataset, mesh: Mesh | None = None):
     step = partial(train_step, config=config)
     shard = NamedSharding(mesh, P(mesh.axis_names[0])) if mesh is not None else None
 
-    def body(state, key):
-        out = make_pair_batch_sampled(
-            key,
-            pool.images,
-            bgp.images,
-            pool.slot_labels_dev,
-            pool.similar_table,
-            batch_size=config.batch_size,
-            similar_neg_prob=config.similar_neg_prob if dataset.paired else 0.0,
-            target_is_input_prob=config.target_is_input_prob,
-            x_size_hw=dataset.x_size_hw,
-            y_size_hw=dataset.y_size_hw,
-            half_upsidedown=dataset.half_upsidedown,
-        )
-        batch = {"x": out["x"], "x_labels": out["x_labels"]}
-        if dataset.targets:
-            batch["y"] = out["y"]
-        if dataset.paired:
-            batch["x2"] = out["x2"]
-            batch["x2_labels"] = out["x2_labels"]
-        if shard is not None:
-            batch = {k: jax.lax.with_sharding_constraint(v, shard) for k, v in batch.items()}
-        return step(state, batch)
+    # Pool arrays MUST be jit ARGUMENTS, not closure constants (closed-over
+    # arrays become HLO literals — GBs of constants break remote compiles).
+    def run(state, key, card_images, bg_images, slot_labels, similar_table):
+        def body(state, key):
+            out = make_pair_batch_sampled(
+                key,
+                card_images,
+                bg_images,
+                slot_labels,
+                similar_table,
+                batch_size=config.batch_size,
+                similar_neg_prob=config.similar_neg_prob if dataset.paired else 0.0,
+                target_is_input_prob=config.target_is_input_prob,
+                x_size_hw=dataset.x_size_hw,
+                y_size_hw=dataset.y_size_hw,
+                half_upsidedown=dataset.half_upsidedown,
+            )
+            batch = {"x": out["x"], "x_labels": out["x_labels"]}
+            if dataset.targets:
+                batch["y"] = out["y"]
+            if dataset.paired:
+                batch["x2"] = out["x2"]
+                batch["x2_labels"] = out["x2_labels"]
+            if shard is not None:
+                batch = {k: jax.lax.with_sharding_constraint(v, shard) for k, v in batch.items()}
+            return step(state, batch)
 
-    def run(state, key):
         keys = jax.random.split(key, config.scan_steps)
         state, logs = jax.lax.scan(body, state, keys)
         return state, jax.tree.map(lambda x: x.mean(0), logs)
 
     if mesh is None:
-        return jax.jit(run, donate_argnums=0)
-    repl = NamedSharding(mesh, P())
-    return jax.jit(
-        run, in_shardings=(repl, None), out_shardings=(repl, repl), donate_argnums=0
+        jitted = jax.jit(run, donate_argnums=0)
+    else:
+        repl = NamedSharding(mesh, P())
+        jitted = jax.jit(
+            run,
+            in_shardings=(repl,) + (None,) * 5,
+            out_shardings=(repl, repl),
+            donate_argnums=0,
+        )
+    return lambda state, key: jitted(
+        state, key, pool.images, bgp.images, pool.slot_labels_dev, pool.similar_table
     )
 
 

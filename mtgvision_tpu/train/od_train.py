@@ -482,28 +482,36 @@ def make_det_train_scan(
     shard = (
         NamedSharding(mesh, P(mesh.axis_names[0])) if mesh is not None else None
     )
-    images, boxes = pool.images_u8, pool.boxes
-    labels, valid, masks = pool.labels, pool.valid, pool.masks_u8
     with_masks, n_scenes = pool.with_masks, pool.n_scenes
 
-    def body(state, key):
-        ki, ka = jax.random.split(key)
-        idx = jax.random.randint(ki, (config.batch_size,), 0, n_scenes)
-        batch = _pool_sample(ka, idx, images, boxes, labels, valid, masks, with_masks)
-        if shard is not None:
-            batch = {k: jax.lax.with_sharding_constraint(v, shard) for k, v in batch.items()}
-        return step(state, batch)
+    # Pool arrays MUST be jit ARGUMENTS, not closure constants: closed-over
+    # arrays are baked into the HLO as literals, and a 2.5 GB constant blob
+    # breaks remote compile services (HTTP 413) and bloats the executable.
+    def run(state, key, images, boxes, labels, valid, masks):
+        def body(state, key):
+            ki, ka = jax.random.split(key)
+            idx = jax.random.randint(ki, (config.batch_size,), 0, n_scenes)
+            batch = _pool_sample(ka, idx, images, boxes, labels, valid, masks, with_masks)
+            if shard is not None:
+                batch = {k: jax.lax.with_sharding_constraint(v, shard) for k, v in batch.items()}
+            return step(state, batch)
 
-    def run(state, key):
         keys = jax.random.split(key, config.scan_steps)
         state, logs = jax.lax.scan(body, state, keys)
         return state, jax.tree.map(lambda x: x.mean(0), logs)
 
     if mesh is None:
-        return jax.jit(run, donate_argnums=0)
-    repl = NamedSharding(mesh, P())
-    return jax.jit(
-        run, in_shardings=(repl, None), out_shardings=(repl, repl), donate_argnums=0
+        jitted = jax.jit(run, donate_argnums=0)
+    else:
+        repl = NamedSharding(mesh, P())
+        jitted = jax.jit(
+            run,
+            in_shardings=(repl,) + (None,) * 6,
+            out_shardings=(repl, repl),
+            donate_argnums=0,
+        )
+    return lambda state, key: jitted(
+        state, key, pool.images_u8, pool.boxes, pool.labels, pool.valid, pool.masks_u8
     )
 
 
