@@ -197,18 +197,21 @@ def make_pair_batch_pooled(
     """Pool-gather variant of :func:`make_pair_batch` — the production path.
 
     Host→device traffic per batch is just the index vectors (~1 KB); pixels
-    live in HBM as uint8 (4× smaller than f32) and are gathered + converted
+    live in HBM as uint8 (4× smaller than f32) and are fetched + converted
     on device. This is the TPU-first answer to the reference's per-sample CPU
     compositor (encoder_datasets.py:858 ~95 pairs/s): the tunnel/PCIe never
-    sees an image.
+    sees an image. Row fetches use ops.gather.take_rows (dynamic `take` on
+    big rows hits TPU gather pathology, ~20 ms/row).
     """
+    from mtgvision_tpu.ops.gather import take_rows
+
     to_f32 = lambda u8: u8.astype(jnp.float32) / 255.0
     return make_pair_batch(
         key,
-        to_f32(card_pool_u8[card_idx]),
-        to_f32(card_pool_u8[pair_idx]),
-        to_f32(bg_pool_u8[bg0_idx]),
-        to_f32(bg_pool_u8[bg1_idx]),
+        to_f32(take_rows(card_pool_u8, card_idx)),
+        to_f32(take_rows(card_pool_u8, pair_idx)),
+        to_f32(take_rows(bg_pool_u8, bg0_idx)),
+        to_f32(take_rows(bg_pool_u8, bg1_idx)),
         target_is_input_mask,
         x_size_hw=x_size_hw,
         y_size_hw=y_size_hw,

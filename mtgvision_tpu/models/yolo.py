@@ -383,10 +383,13 @@ def nms_fixed(
         alive = alive & ok  # once below threshold, stop selecting
         return alive, sel, val
 
-    alive0 = jnp.ones(pre, bool)
-    sel0 = jnp.zeros(max_det, jnp.int32)
-    val0 = jnp.zeros(max_det, bool)
-    _, sel, val = jax.lax.fori_loop(0, max_det, body, (alive0, sel0, val0))
+    carry = (jnp.ones(pre, bool), jnp.zeros(max_det, jnp.int32), jnp.zeros(max_det, bool))
+    # unrolled python loop, NOT lax.fori_loop: XLA while-loop iterations run
+    # as separate host round-trips on remote-dispatch runtimes; max_det is
+    # small and static, so unrolling costs nothing
+    for i in range(max_det):
+        carry = body(i, carry)
+    _, sel, val = carry
     return sel, val
 
 

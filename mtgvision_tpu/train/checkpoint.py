@@ -89,17 +89,34 @@ class CheckpointManager:
         return json.loads(p.read_text()) if p.exists() else None
 
 
+def _norm_path(path) -> str:
+    """Container-agnostic path key: orbax restores every record as nested
+    dicts (DictKey), while live TrainStates flatten to GetAttrKey (struct
+    fields) / SequenceKey (optax tuples). Normalizing each entry to its NAME
+    makes ``.step`` and ``['step']`` the same path — without this the
+    tolerant merge silently restores nothing into dataclass states."""
+    parts = []
+    for e in path:
+        if hasattr(e, "name"):  # GetAttrKey
+            parts.append(str(e.name))
+        elif hasattr(e, "key"):  # DictKey
+            parts.append(str(e.key))
+        elif hasattr(e, "idx"):  # SequenceKey
+            parts.append(str(e.idx))
+        else:
+            parts.append(str(e))
+    return "/".join(parts)
+
+
 def merge_compatible(target: Any, restored: Any) -> Any:
     """Merge restored leaves into target where paths+shapes match (tolerant
     restore — encoder_train.py:757 strict_loading=False equivalent)."""
     t_paths, treedef = jax.tree_util.tree_flatten_with_path(target)
-    t_map = {jax.tree_util.keystr(k): (k, v) for k, v in t_paths}
     r_paths, _ = jax.tree_util.tree_flatten_with_path(restored)
-    r_map = {jax.tree_util.keystr(k): v for k, v in r_paths}
+    r_map = {_norm_path(k): v for k, v in r_paths}
     out = []
     for k, v in t_paths:
-        ks = jax.tree_util.keystr(k)
-        rv = r_map.get(ks)
+        rv = r_map.get(_norm_path(k))
         if rv is not None and getattr(rv, "shape", None) == getattr(v, "shape", None):
             out.append(np.asarray(rv).astype(v.dtype) if hasattr(v, "dtype") else rv)
         else:

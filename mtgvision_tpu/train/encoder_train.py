@@ -398,7 +398,11 @@ def make_train_scan(config: EncoderConfig, dataset, mesh: Mesh | None = None):
             return step(state, batch)
 
         keys = jax.random.split(key, config.scan_steps)
-        state, logs = jax.lax.scan(body, state, keys)
+        # unroll: XLA while-loop iterations execute as separate host round-trips
+        # on remote-dispatch runtimes (each ~= a full dispatch), defeating the
+        # point of the fused chunk; unrolled, the chunk is ONE straight-line
+        # program
+        state, logs = jax.lax.scan(body, state, keys, unroll=True)
         return state, jax.tree.map(lambda x: x.mean(0), logs)
 
     if mesh is None:

@@ -111,17 +111,27 @@ def build_scene_batch(
     inverse-homography box tests (card rect minus bottom notch,
     od_datasets.py:258-268 geometry).
     """
+    from mtgvision_tpu.ops.gather import take_rows
+
     b, k = card_idx.shape
     hc, wc = card_pool_u8.shape[1:3]
     h, w = out_hw
     hp, wp = h // 4, w // 4
 
-    def one_scene(kkey, cidx, cms, val, bidx, bm):
+    # pre-fetch all rows OUTSIDE the vmap with unrolled dynamic slices —
+    # pool indexing inside a vmapped function becomes a batched gather,
+    # which hits TPU gather pathology (~20 ms/row)
+    scene_cards_u8 = take_rows(card_pool_u8, card_idx.reshape(-1)).reshape(
+        b, k, hc, wc, 3
+    )
+    scene_bgs_u8 = take_rows(bg_pool_u8, bg_idx)
+
+    def one_scene(kkey, cards_u8, cms, val, bg_u8, bm):
         k1, k2, k3, k4 = jax.random.split(kkey, 4)
-        bg = bg_pool_u8[bidx].astype(jnp.float32) / 255.0
+        bg = bg_u8.astype(jnp.float32) / 255.0
         bg = W.warp_perspective(bg, bm, out_hw)
         bg = BG_LIGHT(k1, bg)
-        cards = card_pool_u8[cidx].astype(jnp.float32) / 255.0  # (K,Hc,Wc,3)
+        cards = cards_u8.astype(jnp.float32) / 255.0  # (K,Hc,Wc,3)
         cards = jax.vmap(CARD_AUG)(jax.random.split(k2, k), cards)
         mask = I.round_rect_mask((hc, wc), radius_ratio=0.046)
         rgba = jnp.concatenate(
@@ -136,7 +146,9 @@ def build_scene_batch(
         return BG_HEAVY(k4, canvas) if final_aug else canvas
 
     keys = jax.random.split(key, b)
-    images = jax.vmap(one_scene)(keys, card_idx, card_ms, valid, bg_idx, bg_ms)
+    images = jax.vmap(one_scene)(
+        keys, scene_cards_u8, card_ms, valid, scene_bgs_u8, bg_ms
+    )
 
     # GT boxes: warped card-rect extents
     rect = jnp.asarray(
@@ -294,18 +306,22 @@ class DetectorDataset:
 
 @functools.partial(jax.jit, static_argnames=("with_masks",))
 def _pool_sample(key, idx, images_u8, boxes, labels, valid, masks_u8, with_masks: bool):
-    """Gather pool scenes by index and apply fresh photometric augs (the only
-    per-step randomness; geometry is frozen at pool build time)."""
-    imgs = jnp.take(images_u8, idx, axis=0).astype(jnp.float32) / 255.0
+    """Fetch pool scenes by index and apply fresh photometric augs (the only
+    per-step randomness; geometry is frozen at pool build time). Row fetches
+    use ops.gather.take_rows — a dynamic `jnp.take` on big rows hits TPU
+    gather pathology (~20 ms/row)."""
+    from mtgvision_tpu.ops.gather import take_rows
+
+    imgs = take_rows(images_u8, idx).astype(jnp.float32) / 255.0
     imgs = jax.vmap(BG_HEAVY)(jax.random.split(key, idx.shape[0]), imgs)
     batch = {
         "images": imgs,
-        "gt_boxes": jnp.take(boxes, idx, axis=0),
-        "gt_labels": jnp.take(labels, idx, axis=0),
-        "gt_valid": jnp.take(valid, idx, axis=0),
+        "gt_boxes": take_rows(boxes, idx),
+        "gt_labels": take_rows(labels, idx),
+        "gt_valid": take_rows(valid, idx),
     }
     if with_masks:
-        batch["gt_masks"] = jnp.take(masks_u8, idx, axis=0).astype(jnp.float32)
+        batch["gt_masks"] = take_rows(masks_u8, idx).astype(jnp.float32)
     return batch
 
 
@@ -497,7 +513,11 @@ def make_det_train_scan(
             return step(state, batch)
 
         keys = jax.random.split(key, config.scan_steps)
-        state, logs = jax.lax.scan(body, state, keys)
+        # unroll: XLA while-loop iterations execute as separate host round-trips
+        # on remote-dispatch runtimes (each ~= a full dispatch), defeating the
+        # point of the fused chunk; unrolled, the chunk is ONE straight-line
+        # program
+        state, logs = jax.lax.scan(body, state, keys, unroll=True)
         return state, jax.tree.map(lambda x: x.mean(0), logs)
 
     if mesh is None:

@@ -101,11 +101,12 @@ class ApplySome(Applicator):
         kp, ka = jax.random.split(key)
         perm = jax.random.permutation(kp, len(self.fns))
         keys = jax.random.split(ka, self.n)
-
-        def body(i, im):
-            return lax.switch(perm[i], self.fns, keys[i], im)
-
-        return lax.fori_loop(0, self.n, body, img)
+        # unrolled python loop, NOT lax.fori_loop: XLA while-loop iterations
+        # execute as separate host round-trips on remote-dispatch runtimes
+        # (measured ~23 ms+/iteration), and n is tiny anyway
+        for i in range(self.n):
+            img = lax.switch(perm[i], self.fns, keys[i], img)
+        return img
 
 
 class ApplyShuffled(Applicator):
@@ -114,8 +115,7 @@ class ApplyShuffled(Applicator):
         kp, ka = jax.random.split(key)
         perm = jax.random.permutation(kp, n)
         keys = jax.random.split(ka, n)
-
-        def body(i, im):
-            return lax.switch(perm[i], self.fns, keys[i], im)
-
-        return lax.fori_loop(0, n, body, img)
+        # unrolled (see ApplySome) — n ≤ ~7 in every reference pipeline
+        for i in range(n):
+            img = lax.switch(perm[i], self.fns, keys[i], img)
+        return img

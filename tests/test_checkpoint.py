@@ -92,3 +92,75 @@ def test_train_loop_smoke(tmp_path):
     assert "loss" in json.loads(lines[0])
     mgr = CheckpointManager(tmp_path / "run")
     assert mgr.latest_step() == 2
+
+
+def test_supervisor_retries_until_success():
+    from mtgvision_tpu.train.supervisor import supervise
+
+    calls = []
+    rcs = iter([1, 1, 0])
+
+    def fake_run(cmd):
+        calls.append(list(cmd))
+        return next(rcs)
+
+    slept = []
+    rc = supervise(
+        ["train", "--x"], attempts=5, backoff_sec=7,
+        run=fake_run, sleep=slept.append, log=lambda *_: None,
+    )
+    assert rc == 0
+    assert len(calls) == 3
+    assert slept == [7, 7]
+
+
+def test_supervisor_gives_up():
+    from mtgvision_tpu.train.supervisor import supervise
+
+    rc = supervise(
+        ["x"], attempts=3, backoff_sec=0,
+        run=lambda c: 9, sleep=lambda s: None, log=lambda *_: None,
+    )
+    assert rc == 9
+
+
+def test_supervisor_cli_parsing(monkeypatch):
+    from mtgvision_tpu.train import supervisor
+
+    seen = {}
+
+    def fake_supervise(cmd, attempts, backoff_sec):
+        seen.update(cmd=cmd, attempts=attempts, backoff=backoff_sec)
+        return 0
+
+    monkeypatch.setattr(supervisor, "supervise", fake_supervise)
+    assert supervisor._cli(["--attempts", "4", "--", "echo", "hi"]) == 0
+    assert seen == {"cmd": ["echo", "hi"], "attempts": 4, "backoff": 90.0}
+
+
+def test_restore_into_struct_train_state(tmp_path):
+    """Regression: struct.PyTreeNode targets flatten to GetAttrKey paths while
+    orbax restores DictKey dicts — the merge must match them by NAME, else
+    resume silently restores nothing."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flax import struct
+    from typing import Any
+
+    class S(struct.PyTreeNode):
+        step: jnp.ndarray
+        params: Any
+        opt_state: Any
+
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
+    params = {"w": jnp.ones(3)}
+    saved = S(step=jnp.asarray(77, jnp.int32), params={"w": jnp.full(3, 5.0)},
+              opt_state=tx.init(params))
+    mgr = CheckpointManager(tmp_path)
+    mgr.save(77, saved)
+
+    fresh = S(step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params))
+    merged = mgr.restore(target=fresh)
+    assert int(merged.step) == 77
+    assert np.allclose(np.asarray(merged.params["w"]), 5.0)

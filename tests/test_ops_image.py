@@ -98,3 +98,17 @@ def test_noise_preserves_alpha(key, rng):
     x = jnp.asarray(rng.random((16, 16, 4), np.float32))
     out = I.noise_gaussian(key, x, var=0.5)
     assert np.allclose(out[..., 3], x[..., 3])
+
+
+def test_take_rows_matches_take():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mtgvision_tpu.ops.gather import take_rows
+
+    pool = jnp.asarray(np.random.default_rng(0).integers(0, 255, (32, 8, 6, 3), np.uint8))
+    idx = jnp.asarray([5, 0, 31, 5], jnp.int32)
+    out = jax.jit(take_rows)(pool, idx)
+    ref = jnp.take(pool, idx, axis=0)
+    assert out.shape == (4, 8, 6, 3)
+    assert np.array_equal(np.asarray(out), np.asarray(ref))
