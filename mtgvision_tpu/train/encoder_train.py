@@ -288,7 +288,11 @@ def train(
     logger = MetricsLogger(pathlib.Path(config.ckpt_dir) / "logs", run_name)
 
     if config.checkpoint:
-        state = CheckpointManager(config.checkpoint).restore(target=state)
+        resume_mgr = CheckpointManager(config.checkpoint)
+        # tolerate an empty dir so crash-supervised runs can point --checkpoint
+        # at their own ckpt-dir before the first save exists
+        if resume_mgr.latest_step() is not None:
+            state = resume_mgr.restore(target=state)
 
     total = max_steps or config.max_steps
     start = int(jax.device_get(state.step))
