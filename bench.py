@@ -23,17 +23,18 @@ NORTH_STAR_FPS = 500.0
 
 
 def _bench_chained(fn, x0, warmup=3, iters=20) -> float:
-    """Time fn with a data dependency between iterations — async dispatch +
-    out-of-order buffer resolution over tunneled TPUs makes unchained loops
-    report impossible times; chaining forces true serialization."""
+    """Time fn with a data dependency between iterations AND a final VALUE
+    fetch. Chaining forces true serialization; fetching the scalar's value
+    (not just block_until_ready, which some remote-dispatch runtimes resolve
+    before execution finishes) forces the whole chain to really run."""
     chain = jnp.zeros((), jnp.float32)
     for _ in range(warmup):
         chain = fn(x0 + chain)
-    jax.block_until_ready(chain)
+    float(chain)
     t0 = time.perf_counter()
     for _ in range(iters):
         chain = fn(x0 + chain)
-    jax.block_until_ready(chain)
+    float(chain)  # value fetch = hard execution barrier
     return (time.perf_counter() - t0) / iters
 
 

@@ -27,38 +27,104 @@ import numpy as np
 from mtgvision_tpu.data.catalog import Backgrounds, CardCatalog
 from mtgvision_tpu.ops import augment as A
 from mtgvision_tpu.ops import image as I
-from mtgvision_tpu.utils.random import ApplyChoice, ApplyOrdered, ApplyShuffled
+from mtgvision_tpu.utils.random import ApplyChoice, ApplyOrdered, ApplyShuffled  # noqa: F401  (combinator DSL re-exported for user pipelines)
 
 # ---------------------------------------------------------------------------
 # augmentation pipelines (encoder_datasets.py:669-731, structure preserved)
 # ---------------------------------------------------------------------------
 
-RAN_BG = ApplyShuffled(
-    ApplyOrdered(A.flip, A.rotate_bounded, A.warp_inv),
-    ApplyChoice(A.tint, None),
-    ApplyChoice(A.fade_black, A.fade_white, A.brightness_contrast, None),
+# TPU-native restructuring of the reference pipelines: the combinator trees
+# (_RAN_BG/_RAN_FG/_RAN_VRTL, encoder_datasets.py:669-731) chain 2-3 full
+# bilinear warps per image and, under vmap, execute EVERY choice branch for
+# the whole batch. Here each image gets exactly ONE composed homography
+# (geometry) and ONE fused photometric pass per stage — same effect families
+# and magnitudes, ~two orders of magnitude cheaper on TPU.
+
+# photometric parameter sets per stage
+_BG_PHOTO = dict(
+    p_brightness=0.5, brightness=0.3, contrast=0.3,
+    p_hsv=0.0, p_noise=0.0, p_sp=0.0, p_blur=0.0,
+    p_tint=0.5, tint_ratio=0.3, p_fade=0.5, fade_ratio=0.33,
+)
+_FG_PHOTO = dict(
+    p_brightness=0.5, brightness=0.3, contrast=0.3,
+    p_hsv=0.0, p_noise=0.0, p_sp=0.0,
+    p_blur=0.25, blur_sigma=1.5,  # downscale_upscale proxy (:142-163)
+    p_tint=0.5, tint_ratio=0.3, p_fade=0.5, fade_ratio=0.33,
+)
+_VRTL_PHOTO = dict(
+    p_brightness=0.5, brightness=0.3, contrast=0.3,
+    p_hsv=0.0,
+    p_noise=0.6, noise_sigma=0.08,
+    p_sp=0.2, sp_amount=0.02,
+    p_blur=0.4, blur_sigma=2.0,
+    p_sharpen=0.3, sharpen_amount=1.0,
+    p_tint=0.5, tint_ratio=0.25, p_fade=0.3, fade_ratio=0.25,
+    p_erase=0.3, erase_scale=(0.02, 0.25),
 )
 
-RAN_FG = ApplyOrdered(
-    ApplyChoice(A.downscale_upscale, None, None, None),
-    ApplyChoice(A.warp, A.affine_transform, A.perspective_transform, None),
-    ApplyChoice(A.tint, None),
-    ApplyChoice(A.fade_black, A.fade_white, A.brightness_contrast, None),
-)
+from mtgvision_tpu.ops import warp as W  # noqa: E402
 
-_NOISE_CHOICE = ApplyChoice(
-    A.noise, A.gaussian_noise, A.salt_pepper_noise, A.random_erasing, A.cutout, None
-)
 
-RAN_VRTL = ApplyShuffled(
-    ApplyChoice(A.downscale_upscale, None, None, None),
-    ApplyChoice(A.blur, None, None),
-    ApplyChoice(A.sharpen, None, None),
-    _NOISE_CHOICE,
-    ApplyChoice(_NOISE_CHOICE, None),
-    ApplyChoice(A.tint, None),
-    ApplyChoice(A.fade_black, A.fade_white, A.brightness_contrast, None),
-)
+def _fg_geom_matrix(key, card_hw, size_hw):
+    """ONE homography for the foreground card: center-in-canvas composed with
+    a random member of the warp/affine/perspective family
+    (encoder_datasets.py:94-116 corner warp, :353-375 affine, :377-400
+    perspective). Magnitude gates reproduce the reference's 3-in-4
+    apply-probability; all families collapse into one matrix so the card is
+    resampled exactly once."""
+    hc, wc = card_hw
+    h, w = size_hw
+    ks = jax.random.split(key, 8)
+    g = jax.random.bernoulli(ks[0], 0.75).astype(jnp.float32)
+
+    # scale-to-fill the canvas (make_cropped resize semantics; the detector's
+    # dewarped crops are full cards at (192,128), so train inputs must be too
+    # — a center-crop here would train on card centers only)
+    center = W.compose(
+        W.scale_matrix_2d(w / wc, h / hc),
+    )
+    rot = jax.random.uniform(ks[1], (), minval=-0.15, maxval=0.15) * g
+    scale = 1.0 + jax.random.uniform(ks[2], (), minval=-0.1, maxval=0.1) * g
+    shx = jax.random.uniform(ks[3], (), minval=-0.05, maxval=0.05) * g
+    tx = jax.random.uniform(ks[4], (), minval=-0.06, maxval=0.06) * w * g
+    ty = jax.random.uniform(ks[5], (), minval=-0.06, maxval=0.06) * h * g
+    aff = W.affine_matrix(rot=rot, tx=tx, ty=ty, sx=scale, shx=shx, shy=0.0,
+                          center=(w / 2.0, h / 2.0))
+
+    # corner-displacement perspective (Mutate.warp envelope ~±12% of dims)
+    pg = jax.random.bernoulli(ks[6], 0.5).astype(jnp.float32) * g
+    quad = jnp.asarray([[0.0, 0.0], [w, 0.0], [w, h], [0.0, h]], jnp.float32)
+    disp = (jax.random.uniform(ks[7], (4, 2)) - 0.5) * 0.24 * jnp.asarray([w, h]) * pg
+    persp = W.perspective_from_quads(quad, quad + disp)
+    return W.compose(persp, aff, center)
+
+
+def _bg_geom_matrix(key, bg_hw, size_hw):
+    """ONE homography for the background: random flip × 360° rotation ×
+    cover-scale × crop jitter × mild perspective — the composed equivalent of
+    _RAN_BG's flip→rotate_bounded→warp_inv then crop-to-cover
+    (encoder_datasets.py:669-683, :774-785)."""
+    hb, wb = bg_hw
+    h, w = size_hw
+    ks = jax.random.split(key, 6)
+    theta = jax.random.uniform(ks[0], (), minval=0.0, maxval=2.0 * jnp.pi)
+    fx = jnp.where(jax.random.bernoulli(ks[1]), 1.0, -1.0)
+    fy = jnp.where(jax.random.bernoulli(ks[2]), 1.0, -1.0)
+    # cover any rotation: background must span the canvas diagonal
+    diag = float(np.hypot(h, w))
+    s = diag / min(hb, wb) * (1.0 + jax.random.uniform(ks[3], (), maxval=0.4))
+    m = W.compose(
+        W.translation_matrix_2d(w / 2.0, h / 2.0),
+        W.rotation_matrix_2d(theta),
+        W.scale_matrix_2d(s * fx, s * fy),
+        W.translation_matrix_2d(-wb / 2.0, -hb / 2.0),
+    )
+    # mild outward corner displacement (warp_inv flavor)
+    quad = jnp.asarray([[0.0, 0.0], [w, 0.0], [w, h], [0.0, h]], jnp.float32)
+    disp = (jax.random.uniform(ks[4], (4, 2)) - 0.5) * 0.12 * jnp.asarray([w, h])
+    persp = W.perspective_from_quads(quad, quad + disp)
+    return W.compose(persp, m)
 
 
 # ---------------------------------------------------------------------------
@@ -80,9 +146,12 @@ def make_masked(card_img: jnp.ndarray) -> jnp.ndarray:
 
 
 def make_bg(key, bg_img: jnp.ndarray, size_hw: tuple[int, int]) -> jnp.ndarray:
-    """Augment then crop-to-cover (encoder_datasets.py:774-785)."""
-    bg = RAN_BG(key, bg_img)
-    return I.crop_to_size(bg, size_hw, pad=False)
+    """Augment then crop-to-cover (encoder_datasets.py:774-785) — one composed
+    homography + one fused photometric pass."""
+    kg, kp = jax.random.split(key)
+    m = _bg_geom_matrix(kg, bg_img.shape[:2], size_hw)
+    bg = W.warp_perspective(bg_img, m, size_hw)
+    return A.fused_photometric(kp, bg, **_BG_PHOTO)
 
 
 def make_virtual(
@@ -92,19 +161,21 @@ def make_virtual(
     size_hw: tuple[int, int],
     half_upsidedown: bool = False,
 ) -> jnp.ndarray:
-    """Mask card → pad-to-size → FG augs → composite over augmented BG →
-    virtual augs (encoder_datasets.py:786-814)."""
-    kud, kfg, kbg, kv = jax.random.split(key, 4)
+    """Mask card → ONE composed warp into canvas → FG photometric → composite
+    over warped+photometric BG → virtual photometric
+    (encoder_datasets.py:786-814 semantics, single-resample design)."""
+    kud, kg, kfp, kbg, kv = jax.random.split(key, 5)
     if half_upsidedown:
         card_img = jnp.where(
             jax.random.bernoulli(kud), jnp.rot90(card_img, 2, (0, 1)), card_img
         )
     fg = make_masked(card_img)
-    fg = I.crop_to_size(fg, size_hw, pad=True)
-    fg = RAN_FG(kfg, fg)
+    m = _fg_geom_matrix(kg, card_img.shape[:2], size_hw)
+    fg = W.warp_perspective(fg, m, size_hw)
+    fg = A.fused_photometric(kfp, fg, **_FG_PHOTO)
     bg = make_bg(kbg, bg_img, size_hw)
     virt = I.rgba_over_rgb(fg, bg)
-    return RAN_VRTL(kv, virt)
+    return A.fused_photometric(kv, virt, **_VRTL_PHOTO)
 
 
 def make_virtual_pair(

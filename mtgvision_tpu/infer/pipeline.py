@@ -218,10 +218,11 @@ def bench_e2e(batch: int = 8, iters: int = 20) -> float:
         return 0.0 * idx[0, 0, 0].astype(jnp.float32)
 
     chain = step(chain)
-    jax.block_until_ready(chain)  # compile
+    float(chain)  # compile + hard execution barrier (value fetch — see bench.py)
     t0 = time.perf_counter()
     for _ in range(iters):
         chain = step(chain)
-    jax.block_until_ready(chain)
+    float(chain)  # value fetch: block_until_ready alone can resolve early on
+    # remote-dispatch runtimes, reporting impossible times
     dt = (time.perf_counter() - t0) / iters
     return batch / dt

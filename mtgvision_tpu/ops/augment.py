@@ -438,6 +438,12 @@ def fused_photometric(
     blur_sigma: float = 2.0,
     p_erase: float = 0.0,
     erase_scale: tuple = (0.02, 0.2),
+    p_tint: float = 0.0,
+    tint_ratio: float = 0.3,
+    p_fade: float = 0.0,
+    fade_ratio: float = 0.33,
+    p_sharpen: float = 0.0,
+    sharpen_amount: float = 1.0,
 ):
     """Single-pass photometric degradation — the TPU-native replacement for
     the albumentations-style choice/shuffle pipelines (od_datasets.py:420-512).
@@ -454,7 +460,7 @@ def fused_photometric(
     RGB-only channels are augmented; alpha (if present) passes through.
     """
     rgb = img[..., :3]
-    ks = jax.random.split(key, 12)
+    ks = jax.random.split(key, 16)
     u = lambda i, lo, hi: jax.random.uniform(ks[i], (), minval=lo, maxval=hi)
     gate = lambda i, p: jax.random.bernoulli(ks[i], p).astype(jnp.float32)
 
@@ -473,6 +479,18 @@ def fused_photometric(
     s_f = 1.0 + u(5, -sat, sat) * g_hsv
     rgb = gray + (rgb - gray) * s_f
     rgb = rgb * (1.0 + u(6, -val, val) * g_hsv)
+
+    # tint toward a random color (encoder_datasets.py:165-171 semantics)
+    if p_tint > 0.0:
+        t = u(12, 0.0, tint_ratio) * gate(12, p_tint)
+        color = jax.random.uniform(ks[13], (3,))
+        rgb = rgb * (1.0 - t) + color * t
+
+    # fade toward white or black (encoder_datasets.py:173-185)
+    if p_fade > 0.0:
+        f = u(14, 0.0, fade_ratio) * gate(14, p_fade)
+        target = jax.random.bernoulli(ks[15], 0.5).astype(jnp.float32)  # 0 or 1
+        rgb = rgb * (1.0 - f) + target * f
 
     # gaussian noise — ONE field, scaled (off w.p. 1-p)
     sigma = u(7, 0.3, 1.0) * noise_sigma * gate(8, p_noise)
@@ -493,6 +511,12 @@ def fused_photometric(
     sx = jnp.where(aniso, sx * 2.0, sx)
     sy = jnp.where(aniso, sy * 0.1, sy)
     rgb = _sep_blur(rgb, sx, sy)
+
+    # sharpen: gated 3×3 unsharp kernel (encoder_datasets.py:242-257)
+    if p_sharpen > 0.0:
+        amt = u(13, 0.3, 1.0) * sharpen_amount * gate(15, p_sharpen)
+        blurred = _sep_blur(rgb, 1.0, 1.0, taps=5)
+        rgb = rgb + (rgb - blurred) * amt
 
     rgb = jnp.clip(rgb, 0.0, 1.0)
 
