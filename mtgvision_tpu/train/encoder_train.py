@@ -75,6 +75,9 @@ class EncoderConfig:
     num_workers: int = 6
     # parallelism (new — reference is single-device)
     n_devices: int = 0  # 0 = all local devices
+    # procedural-catalog census size when no catalog is passed (the reference
+    # trains over the full Scryfall census; more ids = harder metric problem)
+    n_cards: int = 512
     # Fuse this many optimizer steps into ONE jitted lax.scan program —
     # device-side pool sampling (data/encoder_gen.py make_pair_batch_sampled)
     # makes the whole sample→augment→fwd/bwd→update loop host-free. Critical
@@ -269,7 +272,7 @@ def train(
     from mtgvision_tpu.train.logging_utils import MetricsLogger
 
     if catalog is None:
-        catalog = ProceduralCatalog(n_cards=512)
+        catalog = ProceduralCatalog(n_cards=config.n_cards)
     if backgrounds is None:
         backgrounds = ProceduralBackgrounds()
 
