@@ -100,3 +100,60 @@ def test_choice_none_identity(rng):
     img = jnp.asarray(rng.random((8, 8, 3), np.float32))
     pipe = ApplyChoice(None)
     assert np.allclose(pipe(jax.random.PRNGKey(0), img), img)
+
+
+class TestFusedPhotometric:
+    def _img(self, c=3):
+        import numpy as np
+        rng = np.random.default_rng(0)
+        return jnp.asarray(rng.random((32, 24, c), np.float32))
+
+    def test_identity_when_all_off(self):
+        from mtgvision_tpu.ops.augment import fused_photometric
+
+        img = self._img()
+        out = fused_photometric(
+            jax.random.PRNGKey(0), img,
+            p_brightness=0.0, p_hsv=0.0, p_noise=0.0, p_sp=0.0, p_blur=0.0,
+        )
+        # blur at sigma->0 is a near-delta kernel; everything else gated off
+        assert float(jnp.abs(out - img).max()) < 1e-2
+
+    def test_range_and_shape(self):
+        from mtgvision_tpu.ops.augment import fused_photometric
+
+        img = self._img()
+        for seed in range(4):
+            out = fused_photometric(
+                jax.random.PRNGKey(seed), img,
+                p_noise=1.0, p_sp=1.0, p_blur=1.0, p_tint=1.0, p_fade=1.0,
+                p_sharpen=1.0, p_erase=1.0,
+            )
+            assert out.shape == img.shape
+            assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+            assert bool(jnp.isfinite(out).all())
+
+    def test_alpha_passthrough(self):
+        from mtgvision_tpu.ops.augment import fused_photometric
+
+        img = self._img(c=4)
+        out = fused_photometric(jax.random.PRNGKey(1), img, p_noise=1.0, p_blur=1.0)
+        assert jnp.allclose(out[..., 3], img[..., 3])
+
+    def test_randomness_differs_by_key(self):
+        from mtgvision_tpu.ops.augment import fused_photometric
+
+        img = self._img()
+        a = fused_photometric(jax.random.PRNGKey(1), img, p_noise=1.0)
+        b = fused_photometric(jax.random.PRNGKey(2), img, p_noise=1.0)
+        assert float(jnp.abs(a - b).max()) > 1e-3
+
+    def test_vmap_batches(self):
+        from mtgvision_tpu.ops.augment import fused_photometric
+
+        imgs = jnp.stack([self._img()] * 4)
+        keys = jax.random.split(jax.random.PRNGKey(0), 4)
+        out = jax.vmap(fused_photometric)(keys, imgs)
+        assert out.shape == imgs.shape
+        # different keys → different outputs across the batch
+        assert float(jnp.abs(out[0] - out[1]).max()) > 1e-3
