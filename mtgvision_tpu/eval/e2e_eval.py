@@ -30,6 +30,11 @@ class E2EStats:
     n_top1: int = 0
     n_top5: int = 0
     corner_err_sum: float = 0.0
+    # orientation-failure split: a detection whose corners fit the GT quad
+    # well only after a 180° roll had the right QUAD but the wrong top/bottom
+    # call (notch disambiguation miss) — the main id-match killer
+    n_flipped: int = 0
+    oriented_err_sum: float = 0.0  # corner error using the better of 0°/180°
 
     @property
     def recall(self) -> float:
@@ -47,10 +52,20 @@ class E2EStats:
     def mean_corner_err(self) -> float:
         return self.corner_err_sum / max(self.n_detected, 1)
 
+    @property
+    def flip_rate(self) -> float:
+        return self.n_flipped / max(self.n_detected, 1)
+
+    @property
+    def mean_oriented_err(self) -> float:
+        return self.oriented_err_sum / max(self.n_detected, 1)
+
     def __str__(self):
         return (
             f"recall={self.recall:.3f} top1={self.top1:.3f} top5={self.top5:.3f} "
-            f"corner_err={self.mean_corner_err:.1f}px (gt={self.n_gt}, det={self.n_detected})"
+            f"corner_err={self.mean_corner_err:.1f}px "
+            f"(quad_err={self.mean_oriented_err:.1f}px flip_rate={self.flip_rate:.2f}) "
+            f"(gt={self.n_gt}, det={self.n_detected})"
         )
 
 
@@ -93,9 +108,14 @@ def evaluate_e2e(
                 continue
             used.add(best)
             stats.n_detected += 1
-            stats.corner_err_sum += float(
-                np.linalg.norm(corners[best] - quad, axis=1).mean()
+            err = float(np.linalg.norm(corners[best] - quad, axis=1).mean())
+            err_flip = float(
+                np.linalg.norm(np.roll(corners[best], 2, axis=0) - quad, axis=1).mean()
             )
+            stats.corner_err_sum += err
+            stats.oriented_err_sum += min(err, err_flip)
+            if err_flip < err:
+                stats.n_flipped += 1
             if match_idx is not None and pipeline.store is not None:
                 ids = []
                 for k in range(match_idx.shape[-1]):

@@ -150,6 +150,7 @@ def main(argv=None):
     rec = {
         "recall": stats.recall, "top1": stats.top1, "top5": stats.top5,
         "corner_err_px": stats.mean_corner_err,
+        "quad_err_px": stats.mean_oriented_err, "flip_rate": stats.flip_rate,
         "n_gt": stats.n_gt, "n_detected": stats.n_detected,
     }
     print(json.dumps(rec))

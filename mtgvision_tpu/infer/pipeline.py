@@ -57,6 +57,7 @@ class FramePipeline:
         crop_hw: tuple[int, int] = (192, 128),
         top_k: int = 3,
         score_thresh: float = 0.25,
+        both_orientations: bool = True,
     ):
         self.detector = detector
         self.det_variables = det_variables
@@ -67,6 +68,7 @@ class FramePipeline:
         self.crop_hw = crop_hw
         self.top_k = top_k
         self.score_thresh = score_thresh
+        self.both_orientations = both_orientations
         self._detect = jax.jit(self._detect_stage)
         self._rectify_embed = jax.jit(self._rectify_embed_stage)
         self._match = jax.jit(functools.partial(cosine_topk, k=top_k))
@@ -99,8 +101,21 @@ class FramePipeline:
 
         crops, corners, ok = jax.vmap(per_frame)(frames, masks > 0.5, valid)
         flat_crops = crops.reshape(b * self.max_det, *self.crop_hw, 3)
-        z = self.encoder.apply(enc_vars, flat_crops)
-        return crops, corners, ok, z.reshape(b, self.max_det, -1)
+        if self.both_orientations:
+            # notch-based top/bottom disambiguation (orient.py) occasionally
+            # flips 180°; embedding BOTH orientations lets the index match
+            # decide (stage 3 keeps the higher-scoring one). The second
+            # encoder pass on D small crops is cheap next to detection.
+            flat_flip = jnp.rot90(flat_crops, 2, axes=(1, 2))
+            z2 = self.encoder.apply(
+                enc_vars, jnp.concatenate([flat_crops, flat_flip])
+            )
+            z = z2.reshape(2, b, self.max_det, -1)
+        else:
+            z = self.encoder.apply(enc_vars, flat_crops)[None].reshape(
+                1, b, self.max_det, -1
+            )
+        return crops, corners, ok, z
 
     # -- chained execution (arrays stay on device between stages) -----------
 
@@ -110,11 +125,28 @@ class FramePipeline:
         crops, corners, ok, z = self._rectify_embed(
             self.enc_variables, frames, masks, valid
         )
+        n_or = z.shape[0]  # 1 or 2 orientations
         match_scores = match_idx = None
+        flipped = jnp.zeros((b, self.max_det), bool)
         if index_mat is not None:
-            ms, mi = self._match(z.reshape(b * self.max_det, -1), index_mat)
-            match_scores = ms.reshape(b, self.max_det, self.top_k)
-            match_idx = mi.reshape(b, self.max_det, self.top_k)
+            ms, mi = self._match(z.reshape(n_or * b * self.max_det, -1), index_mat)
+            ms = ms.reshape(n_or, b, self.max_det, self.top_k)
+            mi = mi.reshape(n_or, b, self.max_det, self.top_k)
+            if n_or == 2:
+                # keep the orientation whose best match scores higher; fix the
+                # reported corners to match (180° roll = swap TL↔BR, TR↔BL)
+                flipped = ms[1, ..., 0] > ms[0, ..., 0]
+                sel = jnp.broadcast_to(
+                    flipped[None, ..., None].astype(jnp.int32),
+                    (1, b, self.max_det, self.top_k),
+                )
+                match_scores = jnp.take_along_axis(ms, sel, 0)[0]
+                match_idx = jnp.take_along_axis(mi, sel, 0)[0]
+                corners = jnp.where(
+                    flipped[..., None, None], jnp.roll(corners, 2, axis=2), corners
+                )
+            else:
+                match_scores, match_idx = ms[0], mi[0]
         return {
             "boxes": boxes,
             "det_scores": scores,
@@ -122,7 +154,8 @@ class FramePipeline:
             "corners": corners,
             "valid": ok,
             "crops": crops,
-            "z": z,
+            "z": z[0],
+            "flipped": flipped,
             "match_scores": match_scores,
             "match_idx": match_idx,
         }

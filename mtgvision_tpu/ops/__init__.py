@@ -35,3 +35,5 @@ from mtgvision_tpu.ops.warp import (  # noqa: F401
     warp_perspective_onto,
     rotate_bounded,
 )
+from mtgvision_tpu.ops.gather import take_rows  # noqa: F401
+from mtgvision_tpu.ops.augment import fused_photometric  # noqa: F401

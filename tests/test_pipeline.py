@@ -91,3 +91,57 @@ def test_e2e_eval_harness():
     assert stats.n_gt >= 3
     assert 0.0 <= stats.recall <= 1.0
     assert str(stats)
+
+
+def test_dual_orientation_match_selects_flip():
+    """A flipped-better detection should report flipped=True, rolled corners,
+    and the flipped orientation's matches."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mtgvision_tpu.infer import pipeline as P
+
+    class FakeEnc:
+        def apply(self, vars_, x, method=None):
+            # embedding = mean brightness of top half minus bottom half →
+            # rot180 negates it; 2-d embedding space
+            top = x[:, : x.shape[1] // 2].mean(axis=(1, 2, 3))
+            bot = x[:, x.shape[1] // 2 :].mean(axis=(1, 2, 3))
+            return jnp.stack([top - bot, jnp.ones_like(top)], -1)
+
+    class FakeDet:
+        pass
+
+    pipe = P.FramePipeline.__new__(P.FramePipeline)
+    pipe.encoder = FakeEnc()
+    pipe.enc_variables = {}
+    pipe.max_det = 2
+    pipe.crop_hw = (8, 6)
+    pipe.top_k = 1
+    pipe.both_orientations = True
+    import functools
+    import jax
+    from mtgvision_tpu.ops.topk import cosine_topk
+    pipe._match = jax.jit(functools.partial(cosine_topk, k=1))
+
+    b, d = 1, 2
+    # crops: det0 bright-top (upright), det1 bright-bottom (looks flipped)
+    crops = np.zeros((b, d, 8, 6, 3), np.float32)
+    crops[0, 0, :4] = 1.0
+    crops[0, 1, 4:] = 1.0
+    corners = np.tile(np.asarray([[0, 0], [6, 0], [6, 8], [0, 8]], np.float32), (b, d, 1, 1))
+    ok = np.ones((b, d), bool)
+
+    flat = jnp.asarray(crops).reshape(b * d, 8, 6, 3)
+    flat_flip = jnp.rot90(flat, 2, axes=(1, 2))
+    z = pipe.encoder.apply({}, jnp.concatenate([flat, flat_flip])).reshape(2, b, d, -1)
+
+    # index: single "upright" card embedding [positive, 1]
+    db = jnp.asarray([[1.0, 1.0]]) / np.sqrt(2.0)
+
+    # emulate run()'s match stage
+    n_or = 2
+    ms, mi = pipe._match(z.reshape(n_or * b * d, -1), db)
+    ms = ms.reshape(n_or, b, d, 1)
+    flipped = ms[1, ..., 0] > ms[0, ..., 0]
+    assert not bool(flipped[0, 0])  # upright crop stays
+    assert bool(flipped[0, 1])  # flipped crop wins rotated
