@@ -19,12 +19,16 @@ def _n_params(params) -> int:
 
 
 def _time(fn, *args, warmup: int = 2, iters: int = 20) -> float:
+    """it/s with a value-fetch barrier: on remote-dispatch runtimes
+    block_until_ready can resolve before execution finishes (bench.py), and
+    repeated identical dispatches may overlap — the final float() of a
+    reduction over the last output is the only hard barrier."""
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    float(jax.tree.leaves(out)[0].sum())
     return iters / (time.perf_counter() - t0)
 
 

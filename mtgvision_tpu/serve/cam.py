@@ -61,10 +61,29 @@ def run_cam(pipeline, store=None, camera: int = 0, size=(640, 480)):
     cv2.destroyAllWindows()
 
 
-if __name__ == "__main__":
-    from mtgvision_tpu.serve.server import main as _  # reuse default pipeline setup
+def main(argv=None):
+    """python -m mtgvision_tpu.serve.cam --det <ckpt> --enc <ckpt> [--index <dir>]"""
+    import argparse
 
-    raise SystemExit(
-        "run via: python -c 'from mtgvision_tpu.serve.cam import run_cam; ...' "
-        "with a FramePipeline built from your checkpoints"
-    )
+    from mtgvision_tpu.serve.server import build_pipeline
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--det", default=None)
+    ap.add_argument("--enc", default=None)
+    ap.add_argument("--det-size", default="s")
+    ap.add_argument("--enc-model", default="cnvnxt2ae_nano")
+    ap.add_argument("--index", default=None, help="VectorStore save_to_dir path")
+    ap.add_argument("--camera", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    store = None
+    if args.index:
+        from mtgvision_tpu.index.store import VectorStore
+
+        store = VectorStore.load_from_dir(args.index)
+    pipe = build_pipeline(args.det, args.enc, args.det_size, args.enc_model, store)
+    run_cam(pipe, store=store, camera=args.camera)
+
+
+if __name__ == "__main__":
+    main()

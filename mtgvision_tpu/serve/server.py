@@ -202,29 +202,78 @@ def make_app(ctx_factory, static_dir: str | pathlib.Path | None = None):
 DEFAULT_STATIC = pathlib.Path(__file__).resolve().parents[2] / "www"
 
 
-def main(host: str = "0.0.0.0", port: int = 8000, static_dir=DEFAULT_STATIC):
-    """Launch with a default pipeline (random weights unless checkpoints are
-    given via env/args in later rounds)."""
-    from aiohttp import web
+def build_pipeline(
+    det_ckpt: str | None = None,
+    enc_ckpt: str | None = None,
+    det_size: str = "s",
+    enc_model: str = "cnvnxt2ae_nano",
+    store=None,
+):
+    """FramePipeline from checkpoints (trained serving) or random weights
+    (smoke runs). Checkpoint dirs accept slim exports or train ckpt dirs
+    (eval/system.py loaders)."""
+    import jax
+    import jax.numpy as jnp
 
     from mtgvision_tpu.infer.pipeline import FramePipeline
     from mtgvision_tpu.models.convnextv2ae import AE_SIZES, ConvNeXtV2Encoder
     from mtgvision_tpu.models.yolo import YoloSeg
 
-    import jax
-    import jax.numpy as jnp
+    if det_ckpt:
+        from mtgvision_tpu.eval.system import load_detector
 
-    rng = jax.random.PRNGKey(0)
-    det = YoloSeg(num_classes=1, size="s", dtype=jnp.bfloat16)
-    det_vars = jax.jit(det.init, static_argnums=2)(rng, jnp.zeros((1, 640, 640, 3)), False)
-    enc = ConvNeXtV2Encoder(
-        image_hw=(192, 128), z_size=768, head_type="conv+linear",
-        dtype=jnp.bfloat16, **AE_SIZES["nano"],
-    )
-    enc_vars = {"params": jax.jit(enc.init)(rng, jnp.zeros((1, 192, 128, 3)))["params"]}
-    pipe = FramePipeline(det, det_vars, enc, enc_vars)
-    app = make_app(lambda: TrackerCtx(pipe), static_dir)
-    web.run_app(app, host=host, port=port)
+        det, det_vars = load_detector(det_ckpt, size=det_size)
+    else:
+        det = YoloSeg(num_classes=1, size=det_size, dtype=jnp.bfloat16)
+        det_vars = jax.jit(det.init, static_argnums=2)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 640, 640, 3)), False
+        )
+    if enc_ckpt:
+        from mtgvision_tpu.eval.system import load_encoder
+
+        enc, enc_vars = load_encoder(enc_ckpt, model_name=enc_model)
+    else:
+        enc = ConvNeXtV2Encoder(
+            image_hw=(192, 128), z_size=768, head_type="conv+linear",
+            dtype=jnp.bfloat16, **AE_SIZES["nano"],
+        )
+        enc_vars = {
+            "params": jax.jit(enc.init)(
+                jax.random.PRNGKey(0), jnp.zeros((1, 192, 128, 3))
+            )["params"]
+        }
+    return FramePipeline(det, det_vars, enc, enc_vars, store=store)
+
+
+def main(argv=None):
+    """Serve the trained system:
+
+    python -m mtgvision_tpu.serve.server --det artifacts_r1/det_v2 \
+        --enc artifacts_r1/enc_v2 --index <store dir from populate>
+    """
+    import argparse
+
+    from aiohttp import web
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--static-dir", default=str(DEFAULT_STATIC))
+    ap.add_argument("--det", default=None, help="detector checkpoint dir")
+    ap.add_argument("--enc", default=None, help="encoder checkpoint dir")
+    ap.add_argument("--det-size", default="s")
+    ap.add_argument("--enc-model", default="cnvnxt2ae_nano")
+    ap.add_argument("--index", default=None, help="VectorStore save_to_dir path")
+    args = ap.parse_args(argv)
+
+    store = None
+    if args.index:
+        from mtgvision_tpu.index.store import VectorStore
+
+        store = VectorStore.load_from_dir(args.index)
+    pipe = build_pipeline(args.det, args.enc, args.det_size, args.enc_model, store)
+    app = make_app(lambda: TrackerCtx(pipe), pathlib.Path(args.static_dir))
+    web.run_app(app, host=args.host, port=args.port)
 
 
 if __name__ == "__main__":
