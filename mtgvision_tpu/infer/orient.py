@@ -96,6 +96,102 @@ def orient_corners(mask: jnp.ndarray):
     return jnp.where(ok, corners, jnp.zeros_like(corners)), ok
 
 
+def refine_corners(mask: jnp.ndarray, corners: jnp.ndarray, iters: int = 2):
+    """Subpixel corner refinement: weighted total-least-squares LINE fits to
+    the four quad edges of the mask boundary, intersected pairwise.
+
+    The extreme-pixel corners from ``orient_corners`` quantize to the mask
+    grid (±1 px at proto res = ±4 px at frame res — the r1 ~15-19 px quad
+    error, VERDICT weak #8). Under a homography card edges stay straight
+    lines, so fitting each edge to ALL its boundary pixels (gradient-
+    magnitude weighted, notch/corner regions excluded) and intersecting
+    adjacent lines localizes corners well below pixel pitch. Pure
+    reductions — no gathers, vmap/jit friendly.
+
+    mask: (H, W) float; corners: (4, 2) coarse [TL,TR,BR,BL] (mask-res xy).
+    Returns refined (4, 2) corners; falls back to the coarse corner when an
+    edge fit is degenerate or the refinement moves a corner implausibly far.
+    """
+    h, w = mask.shape
+    m = mask.astype(jnp.float32)
+    yy = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(w, dtype=jnp.float32)[None, :]
+    # boundary weight = central-difference gradient magnitude
+    gx = 0.5 * (jnp.roll(m, -1, 1) - jnp.roll(m, 1, 1))
+    gy = 0.5 * (jnp.roll(m, -1, 0) - jnp.roll(m, 1, 0))
+    bw = jnp.sqrt(gx * gx + gy * gy)
+    # roll wraps the border row/col — zero them out
+    edge_mask = jnp.zeros((h, w)).at[1:-1, 1:-1].set(1.0)
+    bw = bw * edge_mask
+    px = jnp.stack([xx + 0.0 * yy, yy + 0.0 * xx], -1)  # (H,W,2) pixel xy
+
+    # edge windows along the edge direction (fractions of edge length):
+    # exclude rounded corners everywhere; exclude the bottom-center notch
+    # (scene_gen: qx∈[0.4w,0.6w] cutout) from the bottom edge
+    lo = jnp.asarray([0.10, 0.10, 0.10, 0.10])
+    hi = jnp.asarray([0.90, 0.90, 0.90, 0.90])
+    notch = jnp.asarray([0.0, 0.0, 1.0, 0.0])  # edge 2 = bottom (BR→BL)
+
+    def fit_lines(cs):
+        a = cs  # (4,2) edge start = corner i
+        b = jnp.roll(cs, -1, axis=0)  # edge end = corner i+1
+        d = b - a
+        length = jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-6)
+        d = d / length  # (4,2) unit edge dirs
+        n = jnp.stack([-d[:, 1], d[:, 0]], -1)  # normals
+        rel = px[None] - a[:, None, None]  # (4,H,W,2)
+        s = jnp.einsum("ehwc,ec->ehw", rel, n)  # signed dist to line
+        t = jnp.einsum("ehwc,ec->ehw", rel, d) / length[:, None]  # along [0,1]
+        prox = jnp.exp(-((s / 2.5) ** 2))
+        win = (t > lo[:, None, None]) & (t < hi[:, None, None])
+        notch_ex = notch[:, None, None] * ((t > 0.28) & (t < 0.72))
+        wgt = bw[None] * prox * win * (1.0 - notch_ex)  # (4,H,W)
+        tot = jnp.sum(wgt, (1, 2))  # (4,)
+        denom = jnp.maximum(tot, 1e-6)[:, None]
+        c = jnp.einsum("ehw,hwc->ec", wgt, px) / denom  # centroids
+        rc = px[None] - c[:, None, None]
+        cxx = jnp.sum(wgt * rc[..., 0] * rc[..., 0], (1, 2))
+        cyy = jnp.sum(wgt * rc[..., 1] * rc[..., 1], (1, 2))
+        cxy = jnp.sum(wgt * rc[..., 0] * rc[..., 1], (1, 2))
+        # principal direction of the weighted scatter (2×2 closed form)
+        tr_half = 0.5 * (cxx + cyy)
+        disc = jnp.sqrt(jnp.maximum(tr_half**2 - (cxx * cyy - cxy * cxy), 0.0))
+        lam = tr_half + disc
+        dd = jnp.stack([cxy, lam - cxx], -1)
+        # axis-aligned fallback when cxy ~ 0
+        aa = jnp.where(
+            (cxx >= cyy)[:, None],
+            jnp.broadcast_to(jnp.asarray([1.0, 0.0]), (4, 2)),
+            jnp.broadcast_to(jnp.asarray([0.0, 1.0]), (4, 2)),
+        )
+        dd = jnp.where((jnp.abs(cxy) > 1e-6)[:, None], dd, aa)
+        dd = dd / jnp.maximum(jnp.linalg.norm(dd, axis=-1, keepdims=True), 1e-9)
+        return c, dd, tot
+
+    def intersect(c1, d1, c2, d2):
+        """Intersection of lines (c1 + t·d1) and (c2 + s·d2)."""
+        cross = d1[0] * d2[1] - d1[1] * d2[0]
+        rhs = c2 - c1
+        t = (rhs[0] * d2[1] - rhs[1] * d2[0]) / jnp.where(
+            jnp.abs(cross) < 1e-6, jnp.inf, cross
+        )
+        return c1 + t * d1
+
+    cs = corners.astype(jnp.float32)
+    for _ in range(iters):
+        c, d, tot = fit_lines(cs)
+        # corner i = edge (i-1) ∩ edge i  (TL = left∩top, TR = top∩right, …)
+        new = jnp.stack(
+            [intersect(c[(i - 1) % 4], d[(i - 1) % 4], c[i], d[i]) for i in range(4)]
+        )
+        # guards: both edges need boundary support; don't jump implausibly far
+        support = jnp.stack([(tot[(i - 1) % 4] > 1.0) & (tot[i] > 1.0) for i in range(4)])
+        near = jnp.linalg.norm(new - cs, axis=-1) < 6.0
+        good = support & near & jnp.all(jnp.isfinite(new), -1)
+        cs = jnp.where(good[:, None], new, cs)
+    return cs
+
+
 @functools.partial(jax.jit, static_argnames=("out_hw",))
 def extract_dewarped(
     frame: jnp.ndarray,

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mtgvision_tpu.infer.orient import extract_dewarped, orient_corners
+from mtgvision_tpu.infer.orient import extract_dewarped, orient_corners, refine_corners
 from mtgvision_tpu.models.convnextv2ae import ConvNeXtV2Encoder
 from mtgvision_tpu.models.yolo import YoloSeg, detect
 from mtgvision_tpu.ops.topk import cosine_topk
@@ -58,6 +58,8 @@ class FramePipeline:
         top_k: int = 3,
         score_thresh: float = 0.25,
         both_orientations: bool = True,
+        refine: bool = True,
+        fast_dewarp: bool = True,
     ):
         self.detector = detector
         self.det_variables = det_variables
@@ -69,6 +71,8 @@ class FramePipeline:
         self.top_k = top_k
         self.score_thresh = score_thresh
         self.both_orientations = both_orientations
+        self.refine = refine
+        self.fast_dewarp = fast_dewarp
         self._detect = jax.jit(self._detect_stage)
         self._rectify_embed = jax.jit(self._rectify_embed_stage)
         self._match = jax.jit(functools.partial(cosine_topk, k=top_k))
@@ -93,13 +97,30 @@ class FramePipeline:
         def per_frame(frame, frame_masks, frame_valid):
             def per_det(mask, ok_det):
                 corners, ok = orient_corners(mask)
+                if self.refine:
+                    # subpixel line-fit refinement at mask res BEFORE the ×4
+                    # upscale — cuts the r1 ~15-19 px quad error (orient.py)
+                    corners = refine_corners(mask, corners)
                 corners = corners * (h / mask.shape[0])
-                crop = extract_dewarped(frame, corners, out_hw=self.crop_hw)
-                return crop, corners, ok & ok_det
+                return corners, ok & ok_det
 
-            return jax.vmap(per_det)(frame_masks, frame_valid)
+            corners, ok = jax.vmap(per_det)(frame_masks, frame_valid)
+            if self.fast_dewarp:
+                # gather-free two-pass resample (ops/warp.py) — the bilinear
+                # gather warp was 59 ms of the 77 ms r1 frame budget
+                from mtgvision_tpu.ops.warp import dewarp_quads_batch
 
-        crops, corners, ok = jax.vmap(per_frame)(frames, masks > 0.5, valid)
+                crops = dewarp_quads_batch(frame, corners, out_hw=self.crop_hw)
+            else:
+                crops = jax.vmap(
+                    lambda q: extract_dewarped(frame, q, out_hw=self.crop_hw)
+                )(corners)
+            return crops, corners, ok
+
+        # pass the CONTINUOUS sigmoid masks: orient_corners thresholds
+        # internally, and refine_corners exploits the soft boundary
+        # gradient for subpixel edge localization
+        crops, corners, ok = jax.vmap(per_frame)(frames, masks, valid)
         flat_crops = crops.reshape(b * self.max_det, *self.crop_hw, 3)
         if self.both_orientations:
             # notch-based top/bottom disambiguation (orient.py) occasionally
@@ -128,6 +149,7 @@ class FramePipeline:
         n_or = z.shape[0]  # 1 or 2 orientations
         match_scores = match_idx = None
         flipped = jnp.zeros((b, self.max_det), bool)
+        z_sel = z[0]
         if index_mat is not None:
             ms, mi = self._match(z.reshape(n_or * b * self.max_det, -1), index_mat)
             ms = ms.reshape(n_or, b, self.max_det, self.top_k)
@@ -145,16 +167,21 @@ class FramePipeline:
                 corners = jnp.where(
                     flipped[..., None, None], jnp.roll(corners, 2, axis=2), corners
                 )
+                # report the embedding of the SELECTED orientation so z is
+                # consistent with match_idx/corners (server.py consumes it
+                # for the EWMA track embedding)
+                z_sel = jnp.where(flipped[..., None], z[1], z[0])
             else:
                 match_scores, match_idx = ms[0], mi[0]
         return {
             "boxes": boxes,
             "det_scores": scores,
             "classes": classes,
+            "masks": masks,  # (B, D, H/4, W/4) sigmoid proto masks
             "corners": corners,
             "valid": ok,
             "crops": crops,
-            "z": z[0],
+            "z": z_sel,
             "flipped": flipped,
             "match_scores": match_scores,
             "match_idx": match_idx,

@@ -460,7 +460,10 @@ def fused_photometric(
     RGB-only channels are augmented; alpha (if present) passes through.
     """
     rgb = img[..., :3]
-    ks = jax.random.split(key, 16)
+    # one key per random draw — NEVER share a key between a gate and a
+    # magnitude (bernoulli(key, p) is uniform(key) < p, so sharing couples
+    # the two draws and truncates the magnitude distribution)
+    ks = jax.random.split(key, 26)
     u = lambda i, lo, hi: jax.random.uniform(ks[i], (), minval=lo, maxval=hi)
     gate = lambda i, p: jax.random.bernoulli(ks[i], p).astype(jnp.float32)
 
@@ -482,48 +485,47 @@ def fused_photometric(
 
     # tint toward a random color (encoder_datasets.py:165-171 semantics)
     if p_tint > 0.0:
-        t = u(12, 0.0, tint_ratio) * gate(12, p_tint)
-        color = jax.random.uniform(ks[13], (3,))
+        t = u(7, 0.0, tint_ratio) * gate(8, p_tint)
+        color = jax.random.uniform(ks[9], (3,))
         rgb = rgb * (1.0 - t) + color * t
 
     # fade toward white or black (encoder_datasets.py:173-185)
     if p_fade > 0.0:
-        f = u(14, 0.0, fade_ratio) * gate(14, p_fade)
-        target = jax.random.bernoulli(ks[15], 0.5).astype(jnp.float32)  # 0 or 1
+        f = u(10, 0.0, fade_ratio) * gate(11, p_fade)
+        target = jax.random.bernoulli(ks[12], 0.5).astype(jnp.float32)  # 0 or 1
         rgb = rgb * (1.0 - f) + target * f
 
     # gaussian noise — ONE field, scaled (off w.p. 1-p)
-    sigma = u(7, 0.3, 1.0) * noise_sigma * gate(8, p_noise)
-    rgb = rgb + jax.random.normal(ks[9], rgb.shape) * sigma
+    sigma = u(13, 0.3, 1.0) * noise_sigma * gate(14, p_noise)
+    rgb = rgb + jax.random.normal(ks[15], rgb.shape) * sigma
 
     # salt & pepper from one uniform field
-    g_sp = gate(10, p_sp)
-    uf = jax.random.uniform(ks[10], rgb.shape[:-1] + (1,))
+    g_sp = gate(16, p_sp)
+    uf = jax.random.uniform(ks[17], rgb.shape[:-1] + (1,))
     amt = sp_amount * g_sp
     rgb = jnp.where(uf < amt * 0.5, 0.0, jnp.where(uf > 1.0 - amt * 0.5, 1.0, rgb))
 
     # blur: separable anisotropic gaussian (σ→0 = identity); anisotropy
     # stands in for motion blur
-    g_bl = gate(11, p_blur)
-    sx = u(3, 0.05, 1.0) * blur_sigma * g_bl
-    sy = u(5, 0.05, 1.0) * blur_sigma * g_bl
-    aniso = jax.random.bernoulli(ks[6], 0.5)
+    g_bl = gate(18, p_blur)
+    sx = u(19, 0.05, 1.0) * blur_sigma * g_bl
+    sy = u(20, 0.05, 1.0) * blur_sigma * g_bl
+    aniso = jax.random.bernoulli(ks[21], 0.5)
     sx = jnp.where(aniso, sx * 2.0, sx)
     sy = jnp.where(aniso, sy * 0.1, sy)
     rgb = _sep_blur(rgb, sx, sy)
 
     # sharpen: gated 3×3 unsharp kernel (encoder_datasets.py:242-257)
     if p_sharpen > 0.0:
-        amt = u(13, 0.3, 1.0) * sharpen_amount * gate(15, p_sharpen)
+        amt = u(22, 0.3, 1.0) * sharpen_amount * gate(23, p_sharpen)
         blurred = _sep_blur(rgb, 1.0, 1.0, taps=5)
         rgb = rgb + (rgb - blurred) * amt
 
     rgb = jnp.clip(rgb, 0.0, 1.0)
 
     if p_erase > 0.0:
-        ke1, ke2 = jax.random.split(ks[2])
-        do = jax.random.bernoulli(ke1, p_erase)
-        er = random_erasing(ke2, jnp.concatenate([rgb, img[..., 3:]], -1),
+        do = jax.random.bernoulli(ks[24], p_erase)
+        er = random_erasing(ks[25], jnp.concatenate([rgb, img[..., 3:]], -1),
                             scale_min_max=erase_scale)
         out = jnp.where(do, er[..., : rgb.shape[-1]], rgb)
         rgb = out

@@ -107,3 +107,76 @@ def poly_contains(outer: np.ndarray, inner: np.ndarray, tol: float = 1e-6) -> bo
     if ia == 0:
         return True
     return poly_intersection_area(inner, outer) >= ia * (1.0 - tol)
+
+
+def mask_contour(
+    mask: np.ndarray, thresh: float = 0.5, simplify: bool = True, max_pts: int = 64
+) -> np.ndarray:
+    """Outer boundary polygon of a binary mask — the masks.xy equivalent the
+    reference gets from ultralytics (od_export.py:150-153) and serves as the
+    raw ``polygon`` wire field (server.py:59-82).
+
+    Pure numpy: extract all oriented boundary edges (inside kept on the
+    right, y-down screen coords) and chain them into loops; return the
+    largest loop's vertices as (N, 2) float xy in PIXEL CENTER coordinates
+    (vertex grid shifted by -0.5). Collinear runs are dropped and the result
+    subsampled to ``max_pts``. Empty mask → (0, 2).
+    """
+    b = np.asarray(mask) > thresh
+    if not b.any():
+        return np.zeros((0, 2), np.float32)
+    p = np.pad(b, 1)
+    ii, jj = np.nonzero(p)
+    # oriented boundary edges between lattice corners (x=j, y=i)
+    edges: dict[tuple[int, int], list[tuple[int, int]]] = {}
+
+    def add(a, bpt):
+        edges.setdefault(a, []).append(bpt)
+
+    up = ~p[ii - 1, jj]
+    dn = ~p[ii + 1, jj]
+    lf = ~p[ii, jj - 1]
+    rt = ~p[ii, jj + 1]
+    for i, j, u, d, l, r in zip(ii, jj, up, dn, lf, rt):
+        if u:
+            add((j, i), (j + 1, i))  # top edge → +x (inside below/right)
+        if d:
+            add((j + 1, i + 1), (j, i + 1))  # bottom edge → −x
+        if l:
+            add((j, i + 1), (j, i))  # left edge → −y
+        if r:
+            add((j + 1, i), (j + 1, i + 1))  # right edge → +y
+
+    loops = []
+    while edges:
+        start = next(iter(edges))
+        loop = [start]
+        cur = start
+        for _ in range(4 * len(b.ravel())):
+            nxts = edges.get(cur)
+            if not nxts:
+                break
+            nxt = nxts.pop()
+            if not nxts:
+                edges.pop(cur, None)
+            loop.append(nxt)
+            cur = nxt
+            if cur == start:
+                break
+        if len(loop) > 3 and loop[0] == loop[-1]:
+            loops.append(np.asarray(loop[:-1], np.float32))
+
+    if not loops:
+        return np.zeros((0, 2), np.float32)
+    pts = max(loops, key=poly_area)
+    pts = pts - 1.5  # un-pad (1) + lattice corner → pixel-center (0.5)
+    if simplify and len(pts) > 4:
+        d1 = pts - np.roll(pts, 1, 0)
+        d2 = np.roll(pts, -1, 0) - pts
+        turn = np.abs(d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0]) > 1e-9
+        if turn.any():
+            pts = pts[turn]  # drop collinear run interiors
+    if len(pts) > max_pts:
+        sel = np.linspace(0, len(pts) - 1, max_pts).astype(int)
+        pts = pts[sel]
+    return pts.astype(np.float32)

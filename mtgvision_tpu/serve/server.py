@@ -51,18 +51,26 @@ class TrackedData:
         self.id = track_id
         self.color = get_color(track_id)
         self.last_update_time = time.time()
-        self.corners: Optional[np.ndarray] = None
+        self.corners: Optional[np.ndarray] = None  # fresh oriented quad
+        self.points_est: Optional[np.ndarray] = None  # smoothed tracker quad
+        self.polygon: Optional[np.ndarray] = None  # raw mask outline (N,2)
         self.score: float = 0.0
         self.crop_encoded: Optional[str] = None
         self.avg_z: Optional[np.ndarray] = None
         self.matches: list[dict] = []
 
     def to_dict(self) -> dict:
+        """Reference wire fields (server.py:59-82) with DISTINCT geometry:
+        ``points`` = tracker-estimate corner quad, ``polygon`` = raw mask
+        contour (masks.xy equivalent), ``polygon_closed`` = oriented closed
+        card quad — the reference sends raw vs buffer-closed polygons."""
+        quad = self.corners.tolist() if self.corners is not None else []
+        est = self.points_est.tolist() if self.points_est is not None else quad
         return {
             "id": str(self.id),
-            "points": self.corners.tolist() if self.corners is not None else [],
-            "polygon": self.corners.tolist() if self.corners is not None else [],
-            "polygon_closed": self.corners.tolist() if self.corners is not None else [],
+            "points": est,
+            "polygon": self.polygon.tolist() if self.polygon is not None else quad,
+            "polygon_closed": quad,
             "color": self.color,
             "img": self.crop_encoded,
             "score": self.score,
@@ -107,6 +115,8 @@ class TrackerCtx:
         scores = np.asarray(out["det_scores"][0])
         crops = np.asarray(out["crops"][0])
         zs = np.asarray(out["z"][0])
+        masks = np.asarray(out["masks"][0])  # (D, H/4, W/4) sigmoid
+        mask_scale = rgb_frame.shape[0] / masks.shape[1]
 
         detections = [
             Detection(points=corners[i], data=i) for i in range(len(valid)) if valid[i]
@@ -122,8 +132,13 @@ class TrackerCtx:
                 trk = TrackedData(obj.id)
                 self.tracked_data[obj.id] = trk
             trk.corners = corners[slot]
+            trk.points_est = obj.estimate  # smoothed tracker quad (norfair parity)
             trk.score = float(scores[slot])
             trk.crop_encoded = encode_rgb_im(crops[slot])
+            # raw mask outline at frame scale (reference: masks.xy polygon)
+            from mtgvision_tpu.ops.polygon import mask_contour
+
+            trk.polygon = mask_contour(masks[slot]) * mask_scale
             # throttled heavy path: EWMA embed + index query (server.py:178-202)
             if now - trk.last_update_time > self.update_wait_sec or trk.avg_z is None:
                 z = zs[slot]

@@ -48,7 +48,13 @@ class CheckpointManager:
 
     def save(self, step: int, state: Any, config: dict | None = None, score: float = 0.0):
         """Save state; evict the worst checkpoint beyond keep_top_k (top =
-        lowest score, matching ModelCheckpoint monitor='loss' mode='min')."""
+        lowest score, matching ModelCheckpoint monitor='loss' mode='min').
+
+        The MOST RECENT checkpoint is exempt from score eviction (Lightning's
+        top-k + final-save behavior): resume paths restore ``latest_step()``,
+        so evicting the newest save would roll a crashed/supervised run back
+        to an older step and could drop the final trained state entirely.
+        """
         path = self.step_dir(step)
         if path.exists():
             shutil.rmtree(path)
@@ -56,8 +62,10 @@ class CheckpointManager:
         if config is not None:
             (path / "config.json").write_text(json.dumps(config))
         self._scores[step] = float(score)
+        newest = max(self._scores)
         while len(self._scores) > self.keep_top_k:
-            worst = max(self._scores, key=self._scores.get)
+            evictable = [s for s in self._scores if s != newest]
+            worst = max(evictable, key=self._scores.get)
             self._scores.pop(worst)
             sp = self.step_dir(worst)
             if sp.exists():

@@ -438,10 +438,17 @@ def make_train_step(config: EncoderConfig, mesh: Mesh | None = None):
         return jax.jit(step)
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P(mesh.axis_names[0]))
-    batch_sh = {
-        "y": shard, "x": shard, "x_labels": shard, "x2": shard, "x2_labels": shard,
-    }
-    return jax.jit(step, in_shardings=(repl, batch_sh), out_shardings=(repl, repl))
+
+    # Shard whatever batch keys actually arrive (configs without recon have
+    # no "y"; unpaired configs no "x2") instead of a hard-coded key set — a
+    # fixed in_shardings dict mismatches those pytrees and throws.
+    def sharded_step(state, batch):
+        batch = {
+            k: jax.lax.with_sharding_constraint(v, shard) for k, v in batch.items()
+        }
+        return step(state, batch)
+
+    return jax.jit(sharded_step, in_shardings=(repl, None), out_shardings=(repl, repl))
 
 
 if __name__ == "__main__":

@@ -81,6 +81,14 @@ class DetectorConfig:
     # Cache the composed scene pool here (.npz) — rebuilding it costs
     # ~15 min of warp compute; reloading is seconds.
     pool_cache: str = ""
+    # Re-place + recompose this many batches of pool slots every
+    # ``pool_refresh_steps`` optimizer steps (0 = frozen pool). Refreshing
+    # keeps scene GEOMETRY moving so the detector can't overfit the pool's
+    # fixed card layouts — the reference's analog is regenerating the YOLO
+    # dataset (od_datasets.py:732), which it never does mid-run either, but a
+    # live pool makes it nearly free.
+    pool_refresh_steps: int = 1000
+    pool_refresh_batches: int = 2
 
     @property
     def num_classes(self) -> int:
@@ -341,12 +349,17 @@ class ScenePoolDataset:
         self.rng = base.rng
         b = self.cfg.batch_size
         n_scenes = (n_scenes // b) * b or b
+        self._refresh_pos = 0
         import pathlib as _pl
 
         cache = _pl.Path(cache_path) if cache_path else None
+        cache_key = self._cache_key(n_scenes)
         if cache is not None and cache.exists():
             z = np.load(cache)
-            if int(z["images_u8"].shape[0]) == n_scenes:
+            # validate against the FULL geometry-relevant config, not just the
+            # scene count — a stale pool for a different img_size/kind/seed/
+            # catalog silently trains on wrong geometry/labels otherwise
+            if str(z.get("cache_key", "")) == cache_key:
                 self.images_u8 = jnp.asarray(z["images_u8"])
                 self.boxes = jnp.asarray(z["boxes"])
                 self.labels = jnp.asarray(z["labels"])
@@ -382,7 +395,48 @@ class ScenePoolDataset:
                 valid=np.asarray(self.valid),
                 masks_u8=np.asarray(self.masks_u8),
                 with_masks=self.with_masks,
+                cache_key=cache_key,
             )
+
+    def _cache_key(self, n_scenes: int) -> str:
+        """Hash of every config field that shapes pool geometry/labels."""
+        cfg = self.cfg
+        cat = self.base.catalog
+        parts = (
+            n_scenes, cfg.img_size, cfg.kind, cfg.seed, cfg.batch_size,
+            cfg.pool_size, cfg.bg_pool_size, type(cat).__name__,
+            tuple(cat.card_hw), len(cat),
+            self.base.num_cards_min, self.base.num_cards_max,
+        )
+        import hashlib
+
+        return hashlib.sha256(repr(parts).encode()).hexdigest()[:16]
+
+    def refresh(self, n_batches: int = 1):
+        """Recompose ``n_batches × batch_size`` pool slots with FRESH host
+        placement geometry (rotating cursor), mirroring
+        ``DeviceCardPool.refresh`` (data/encoder_gen.py:396-416). The arrays
+        are rebound (functional update), so jitted samplers that take the
+        pool arrays as arguments pick the new contents up on the next call
+        with no recompilation."""
+        b = self.cfg.batch_size
+        for _ in range(n_batches):
+            batch = self.base.random_batch(final_aug=False)
+            s = self._refresh_pos
+            upd = jax.lax.dynamic_update_slice
+            self.images_u8 = upd(
+                self.images_u8,
+                (batch["images"] * 255.0).astype(jnp.uint8),
+                (s, 0, 0, 0),
+            )
+            self.boxes = upd(self.boxes, batch["gt_boxes"], (s, 0, 0))
+            self.labels = upd(self.labels, batch["gt_labels"], (s, 0))
+            self.valid = upd(self.valid, batch["gt_valid"], (s, 0))
+            if self.with_masks:
+                self.masks_u8 = upd(
+                    self.masks_u8, batch["gt_masks"].astype(jnp.uint8), (s, 0, 0, 0)
+                )
+            self._refresh_pos = (s + b) % self.n_scenes
 
     def random_batch(self):
         idx = jnp.asarray(
@@ -571,6 +625,8 @@ def train(config: DetectorConfig, catalog=None, backgrounds=None, max_steps=None
     start = int(jax.device_get(state.step))
     key = jax.random.fold_in(jax.random.PRNGKey(config.seed), 1)
 
+    rs = config.pool_refresh_steps
+
     if config.scan_steps > 1 and config.scene_pool:
         scan_fn = make_det_train_scan(config, ds, mesh)
         i = start
@@ -578,6 +634,8 @@ def train(config: DetectorConfig, catalog=None, backgrounds=None, max_steps=None
             state, logs = scan_fn(state, jax.random.fold_in(key, i))
             prev, i = i, i + config.scan_steps
             logger.log(i, jax.device_get(logs))
+            if rs and i // rs > prev // rs:
+                ds.refresh(config.pool_refresh_batches)
             if i // 1000 > prev // 1000 or i >= total:
                 ckpt.save(i, state, config=_dc.asdict(config),
                           score=float(jax.device_get(logs["loss"])))
@@ -590,6 +648,8 @@ def train(config: DetectorConfig, catalog=None, backgrounds=None, max_steps=None
         if mesh is not None:
             batch = shard_batch(mesh, batch)
         state, logs = step_fn(state, batch)
+        if rs and i > start and i % rs == 0 and isinstance(ds, ScenePoolDataset):
+            ds.refresh(config.pool_refresh_batches)
         if i % 50 == 0 or i == total - 1:
             logger.log(i, jax.device_get(logs))
         if (i + 1) % 1000 == 0 or i == total - 1:

@@ -148,6 +148,28 @@ class TestFusedPhotometric:
         b = fused_photometric(jax.random.PRNGKey(2), img, p_noise=1.0)
         assert float(jnp.abs(a - b).max()) > 1e-3
 
+    def test_gate_magnitude_decoupled(self):
+        """Gates and magnitudes draw from DISTINCT keys (ADVICE r1): sharing
+        one key makes magnitude = u·1[u<p], capping applied strength at
+        p·ratio. With p_fade=0.5, fade_ratio=0.33 the applied fade must
+        exceed the bug's 0.165 cap for some keys."""
+        from mtgvision_tpu.ops.augment import fused_photometric
+
+        img = jnp.full((8, 8, 3), 0.5, jnp.float32)
+
+        def fade_strength(seed):
+            out = fused_photometric(
+                jax.random.PRNGKey(seed), img,
+                p_brightness=0.0, p_hsv=0.0, p_noise=0.0, p_sp=0.0,
+                p_blur=0.0, p_fade=0.5, fade_ratio=0.33,
+            )
+            # out = 0.5(1-f) + t·f with t∈{0,1} → |out-0.5| = f/2
+            return 2.0 * float(jnp.abs(out - 0.5).max())
+
+        strengths = [fade_strength(s) for s in range(64)]
+        assert max(strengths) > 0.5 * 0.33 + 0.02  # beats the coupled cap
+        assert any(s < 1e-3 for s in strengths)  # gate still turns it off
+
     def test_vmap_batches(self):
         from mtgvision_tpu.ops.augment import fused_photometric
 

@@ -35,6 +35,24 @@ def test_keep_top_k_eviction(tmp_path):
     assert mgr.step_dir(2).exists() and mgr.step_dir(3).exists()
 
 
+def test_keep_top_k_never_evicts_newest(tmp_path):
+    """The most recent checkpoint is exempt from score eviction — resume
+    restores latest_step(), so evicting the newest save would roll a
+    crashed run back (ADVICE r1: final high-loss saves were deletable)."""
+    mgr = CheckpointManager(tmp_path / "ck", keep_top_k=2)
+    s = {"a": np.zeros(2)}
+    mgr.save(1, s, score=1.0)
+    mgr.save(2, s, score=2.0)
+    mgr.save(3, s, score=99.0)  # newest AND worst — must survive
+    assert mgr.step_dir(3).exists()
+    assert mgr.latest_step() == 3
+    # the worst among the NON-newest (step 2) was evicted instead
+    assert mgr.step_dir(1).exists() and not mgr.step_dir(2).exists()
+    # a fresh save makes step 3 evictable again (now newest = 4)
+    mgr.save(4, s, score=0.5)
+    assert mgr.step_dir(4).exists() and not mgr.step_dir(3).exists()
+
+
 def test_merge_compatible_tolerant():
     target = {"w": np.zeros((2, 3)), "new": np.full(4, 7.0)}
     restored = {"w": np.ones((2, 3)), "old": np.zeros(9), "shape_moved": np.zeros(1)}

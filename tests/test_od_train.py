@@ -1,5 +1,7 @@
 """Detector loss + training tests (tiny shapes, CPU)."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -200,6 +202,49 @@ def test_scene_pool_cache_roundtrip(det_setup, tmp_path):
     assert np.array_equal(np.asarray(p1.images_u8), np.asarray(p2.images_u8))
     assert np.array_equal(np.asarray(p1.boxes), np.asarray(p2.boxes))
     assert p2.with_masks == p1.with_masks
+
+
+def test_scene_pool_refresh(det_setup):
+    """refresh() swaps in fresh geometry at the rotating cursor and leaves
+    shapes/dtypes (and the untouched slots) intact."""
+    from mtgvision_tpu.train.od_train import ScenePoolDataset
+
+    config, ds = det_setup
+    pool = ScenePoolDataset(ds, n_scenes=4)
+    before_imgs = np.asarray(pool.images_u8).copy()
+    before_boxes = np.asarray(pool.boxes).copy()
+    pool.refresh(1)  # one batch (batch_size=2) → slots 0..1 replaced
+    after_imgs = np.asarray(pool.images_u8)
+    after_boxes = np.asarray(pool.boxes)
+    assert after_imgs.shape == before_imgs.shape
+    assert after_imgs.dtype == np.uint8
+    assert not np.array_equal(before_imgs[:2], after_imgs[:2])
+    assert not np.array_equal(before_boxes[:2], after_boxes[:2])
+    assert np.array_equal(before_imgs[2:], after_imgs[2:])  # untouched slots
+    assert pool._refresh_pos == 2
+    b = pool.random_batch()  # sampling still works post-refresh
+    assert np.isfinite(np.asarray(b["images"])).all()
+    pool.refresh(1)
+    assert pool._refresh_pos == 0  # cursor wraps
+
+
+def test_scene_pool_cache_invalidated_by_config(det_setup, tmp_path):
+    """A pool cached for one config must NOT be reused for a different
+    geometry config (ADVICE r1: count-only validation reused stale pools)."""
+    from mtgvision_tpu.train.od_train import ScenePoolDataset
+
+    config, ds = det_setup
+    cache = str(tmp_path / "pool.npz")
+    p1 = ScenePoolDataset(ds, n_scenes=4, cache_path=cache)
+    cfg2 = dataclasses.replace(config, seed=config.seed + 1)
+    ds2 = DetectorDataset(
+        ProceduralCatalog(n_cards=8, card_hw=(48, 32)),
+        ProceduralBackgrounds(bg_hw=(64, 64)),
+        cfg2,
+        num_cards_max=2,
+    )
+    p2 = ScenePoolDataset(ds2, n_scenes=4, cache_path=cache)  # rebuilds
+    assert not np.array_equal(np.asarray(p1.images_u8), np.asarray(p2.images_u8))
 
 
 def test_det_train_scan(det_setup):

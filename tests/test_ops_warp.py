@@ -1,7 +1,9 @@
 """Geometry tests: matrices, homographies, warps."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mtgvision_tpu.ops import warp as W
 
@@ -95,3 +97,85 @@ def test_warp_onto_composite(rng):
     out = np.asarray(W.warp_perspective_onto(fg, m, bg))
     assert np.allclose(out[6:10, 6:10], 1.0, atol=1e-5)  # pasted region white
     assert np.allclose(out[0, 0], np.asarray(bg)[0, 0], atol=1e-5)
+
+
+class TestDewarpTwoPass:
+    """Gather-free two-pass dewarp vs the reference-equivalent gather warp."""
+
+    def _frame(self):
+        rng = np.random.default_rng(3)
+        # smooth-ish test pattern: low-freq sinusoids + a grid
+        h = w = 640
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        img = np.stack(
+            [
+                0.5 + 0.5 * np.sin(xx / 23.0 + c) * np.cos(yy / 31.0 - c)
+                for c in range(3)
+            ],
+            -1,
+        ).astype(np.float32)
+        img += 0.2 * ((xx // 16 + yy // 16) % 2)[..., None]
+        return jnp.asarray(np.clip(img, 0, 1))
+
+    def _quad(self, deg, cx, cy, ch=180, cw_=126, persp=0.0):
+        th = np.radians(deg)
+        rot = np.asarray([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+        base = np.asarray(
+            [(0, 0), (cw_, 0), (cw_, ch), (0, ch)], float
+        ) - (cw_ / 2, ch / 2)
+        q = base @ rot.T + (cx, cy)
+        q[0] += (persp * cw_, persp * ch)  # mild perspective skew
+        return q.astype(np.float32)
+
+    @pytest.mark.parametrize("deg", [0, 25, 90, 137, 180, 262])
+    def test_matches_gather_warp(self, deg):
+        from mtgvision_tpu.infer.orient import extract_dewarped
+        from mtgvision_tpu.ops.warp import dewarp_quads_batch
+
+        frame = self._frame()
+        q = self._quad(deg, 320, 330)
+        ref = np.asarray(extract_dewarped(frame, jnp.asarray(q)))
+        out = np.asarray(dewarp_quads_batch(frame, jnp.asarray(q)[None])[0])
+        assert out.shape == ref.shape
+        d = np.abs(out - ref)
+        # interior comparison (borders differ by fill/AA policy)
+        di = d[4:-4, 4:-4]
+        assert di.mean() < 0.035, (deg, di.mean())
+        assert np.quantile(di, 0.95) < 0.15, (deg, np.quantile(di, 0.95))
+
+    def test_large_card_uses_pyramid(self):
+        """A card bigger than the window resolves via a coarser level and
+        still roughly matches the full-res gather warp (AA differences OK)."""
+        from mtgvision_tpu.infer.orient import extract_dewarped
+        from mtgvision_tpu.ops.warp import dewarp_quads_batch
+
+        frame = self._frame()
+        q = self._quad(15, 320, 320, ch=420, cw_=294)
+        ref = np.asarray(extract_dewarped(frame, jnp.asarray(q)))
+        out = np.asarray(dewarp_quads_batch(frame, jnp.asarray(q)[None])[0])
+        di = np.abs(out - ref)[8:-8, 8:-8]
+        assert di.mean() < 0.06, di.mean()
+
+    def test_perspective_quad(self):
+        from mtgvision_tpu.infer.orient import extract_dewarped
+        from mtgvision_tpu.ops.warp import dewarp_quads_batch
+
+        frame = self._frame()
+        q = self._quad(40, 300, 300, persp=0.12)
+        ref = np.asarray(extract_dewarped(frame, jnp.asarray(q)))
+        out = np.asarray(dewarp_quads_batch(frame, jnp.asarray(q)[None])[0])
+        di = np.abs(out - ref)[4:-4, 4:-4]
+        assert di.mean() < 0.045, di.mean()
+
+    def test_batch_and_jit(self):
+        from mtgvision_tpu.ops.warp import dewarp_quads_batch
+
+        frame = self._frame()
+        qs = jnp.asarray(
+            np.stack([self._quad(d, 250 + d, 300) for d in (0, 30, 60, 110)])
+        )
+        fn = jax.jit(lambda f, q: dewarp_quads_batch(f, q))
+        out = fn(frame, qs)
+        assert out.shape == (4, 192, 128, 3)
+        assert bool(jnp.isfinite(out).all())
+        assert float(out.max()) <= 1.0 and float(out.min()) >= 0.0

@@ -60,6 +60,46 @@ def test_orient_perspective_quad():
     assert err.max() < 8.0, err
 
 
+@pytest.mark.parametrize("deg", [0, 37, 142, 251])
+def test_refine_corners_beats_coarse(deg):
+    """Line-fit refinement must improve (or match) extreme-pixel corners and
+    land within ~1.5 px of ground truth on clean rendered masks."""
+    from mtgvision_tpu.infer.orient import refine_corners
+
+    th = np.radians(deg)
+    rot = np.asarray([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    ch, cw = 120, 84
+    base = np.asarray([(0, 0), (cw, 0), (cw, ch), (0, ch)], float) - (cw / 2, ch / 2)
+    dst = base @ rot.T * 0.9 + 100.0
+    mask = jnp.asarray(render_notched_mask((200, 200), dst))
+    coarse, ok = orient_corners(mask)
+    assert bool(ok)
+    refined = refine_corners(mask, coarse)
+    err_c = np.linalg.norm(np.asarray(coarse) - dst, axis=1).max()
+    err_r = np.linalg.norm(np.asarray(refined) - dst, axis=1).max()
+    assert err_r <= err_c + 0.25, f"deg={deg}: refined {err_r} vs coarse {err_c}"
+    assert err_r < 1.6, f"deg={deg}: refined err {err_r}"
+
+
+def test_refine_corners_perspective():
+    from mtgvision_tpu.infer.orient import refine_corners
+
+    dst = np.asarray([(60, 40), (150, 55), (140, 170), (45, 160)], float)
+    mask = jnp.asarray(render_notched_mask((200, 200), dst))
+    coarse, ok = orient_corners(mask)
+    refined = refine_corners(mask, coarse)
+    err_r = np.linalg.norm(np.asarray(refined) - dst, axis=1).max()
+    assert err_r < 2.0, err_r
+
+
+def test_refine_corners_empty_mask_stays_put():
+    from mtgvision_tpu.infer.orient import refine_corners
+
+    coarse = jnp.zeros((4, 2))
+    refined = refine_corners(jnp.zeros((64, 64)), coarse)
+    assert np.allclose(np.asarray(refined), 0.0)
+
+
 def test_orient_empty_mask():
     corners, ok = orient_corners(jnp.zeros((64, 64)))
     assert not bool(ok)

@@ -226,3 +226,50 @@ def test_place_card_native_speed():
             placed.append(apply_m(card_bbox((448, 320)), m))
     dt_py = time.perf_counter() - t0
     assert dt_native < dt_py  # native must actually be faster
+
+
+def test_mask_contour_notched_card():
+    """mask_contour traces the outer boundary of a notched card mask: area
+    parity with the mask, all vertices on the boundary, notch indentation
+    present (the raw ``polygon`` wire field, server.py:59-82)."""
+    from mtgvision_tpu.ops.polygon import mask_contour, poly_area
+
+    from tests.test_orient import render_notched_mask
+
+    dst = np.asarray([(40, 30), (130, 42), (120, 165), (32, 150)], float)
+    mask = render_notched_mask((200, 200), dst)
+    pts = mask_contour(mask, max_pts=256)
+    assert pts.shape[1] == 2 and len(pts) >= 8
+    # polygon area ~ mask area
+    assert abs(poly_area(pts) - mask.sum()) / mask.sum() < 0.05
+    # every vertex sits on the mask boundary (a true pixel with a false 4-nbr)
+    for x, y in pts[:: max(1, len(pts) // 32)]:
+        xi, yi = int(round(x)), int(round(y))
+        patch = mask[max(0, yi - 1) : yi + 2, max(0, xi - 1) : xi + 2]
+        assert patch.min() == 0.0 and patch.max() == 1.0, (x, y)
+    # the notch indents the contour vs the convex quad: some boundary point
+    # lies well inside the quad's bottom edge region
+    from mtgvision_tpu.ops.polygon import poly_intersection_area
+
+    quad_area = poly_area(dst)
+    assert poly_area(pts) < quad_area * 0.98
+
+
+def test_mask_contour_empty_and_tiny():
+    from mtgvision_tpu.ops.polygon import mask_contour
+
+    assert mask_contour(np.zeros((8, 8))).shape == (0, 2)
+    one = np.zeros((8, 8))
+    one[3, 4] = 1.0
+    pts = mask_contour(one)
+    assert len(pts) == 4  # unit square around the pixel
+    assert np.allclose(pts.mean(0), [4.0, 3.0], atol=0.6)
+
+
+def test_mask_contour_max_pts():
+    from mtgvision_tpu.ops.polygon import mask_contour
+
+    big = np.zeros((128, 128))
+    big[10:118, 12:116] = 1.0
+    pts = mask_contour(big, max_pts=16)
+    assert len(pts) <= 16

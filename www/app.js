@@ -19,6 +19,9 @@ const state = {
   stats: { fps: 0, procTime: 0, period: 0, up: 0, down: 0 },
   wsAlive: false,
   lastMsgTime: 0,
+  selectedId: null, // click-to-select (component-video-overlay-cards.ts:107-236)
+  // overlay display modes (component-overlay-info.ts selectors)
+  modes: { quad: true, mask: true, points: false, labels: true },
 };
 
 const $ = (id) => document.getElementById(id);
@@ -41,6 +44,8 @@ function connect() {
     const msg = JSON.parse(ev.data);
     state.detections = msg.detections || [];
     const a = 0.1; // EWMA like the reference stats overlay
+    const dt = (performance.now() - state.lastMsgTime) / 1000;
+    if (dt > 0 && dt < 10) state.stats.fps = a * (1 / dt) + (1 - a) * state.stats.fps;
     state.stats.procTime = a * (msg.server_process_time * 1000) + (1 - a) * state.stats.procTime;
     state.stats.period = a * (msg.server_process_period * 1000) + (1 - a) * state.stats.period;
     state.stats.up = a * msg.server_recv_im_bytes + (1 - a) * state.stats.up;
@@ -110,55 +115,82 @@ async function startCamera(deviceId) {
 }
 
 // ---------- render ----------
+function toggleSelect(id) {
+  // selection diffing semantics of the reference overlay
+  // (component-video-overlay-cards.ts:107-236): click selects, click again
+  // (or clicking another track) moves/clears the highlight
+  state.selectedId = state.selectedId === id ? null : id;
+  render();
+}
+
 function render() {
   const w = video.videoWidth || 640;
   const h = video.videoHeight || 480;
+  const m = state.modes;
   overlay.setAttribute("viewBox", `0 0 ${w} ${h}`);
-  const dets = state.detections.filter(
-    (d) => (d.matches?.[0]?.score ?? 1) >= 0 // overlay shows all tracks
-  );
-  overlay.innerHTML = dets
+  overlay.innerHTML = state.detections
     .map((d) => {
-      const pts = (d.points || []).map((p) => p.join(",")).join(" ");
-      const top = d.points && d.points.length >= 2
-        ? `<line x1="${d.points[0][0]}" y1="${d.points[0][1]}" x2="${d.points[1][0]}" y2="${d.points[1][1]}" stroke="red" stroke-width="3"/>`
+      const sel = d.id === state.selectedId;
+      const sw = sel ? 4 : 2;
+      const quad = (d.polygon_closed || []).map((p) => p.join(",")).join(" ");
+      const hit = `<polygon class="hit" data-id="${d.id}" points="${quad}" fill="${sel ? d.color + "33" : "transparent"}" stroke="none"/>`;
+      const closed = m.quad && quad
+        ? `<polygon points="${quad}" fill="none" stroke="${d.color}" stroke-width="${sw}"/>`
+        : "";
+      // raw mask outline — a DIFFERENT polygon than the closed quad
+      // (server sends the traced proto-mask contour incl. the notch)
+      const mask = m.mask && d.polygon?.length
+        ? `<polygon points="${d.polygon.map((p) => p.join(",")).join(" ")}" fill="none" stroke="${d.color}" stroke-width="1" stroke-dasharray="4 3" opacity="0.8"/>`
+        : "";
+      const pts = m.points && d.points?.length
+        ? d.points.map((p) => `<circle cx="${p[0]}" cy="${p[1]}" r="${sw}" fill="${d.color}"/>`).join("")
+        : "";
+      const top = m.quad && d.polygon_closed?.length >= 2
+        ? `<line x1="${d.polygon_closed[0][0]}" y1="${d.polygon_closed[0][1]}" x2="${d.polygon_closed[1][0]}" y2="${d.polygon_closed[1][1]}" stroke="red" stroke-width="${sw + 1}"/>`
         : "";
       const name = d.matches?.[0]?.name ?? "";
-      const label = d.points?.length
-        ? `<text x="${d.points[0][0]}" y="${d.points[0][1] - 6}" fill="${d.color}" font-size="14">${name}</text>`
+      const label = m.labels && d.polygon_closed?.length
+        ? `<text x="${d.polygon_closed[0][0]}" y="${d.polygon_closed[0][1] - 6}" fill="${d.color}" font-size="14">${name}</text>`
         : "";
-      return `<g><polygon points="${pts}" fill="none" stroke="${d.color}" stroke-width="2"/>${top}${label}</g>`;
+      return `<g>${hit}${closed}${mask}${top}${pts}${label}</g>`;
     })
     .join("");
+  overlay.querySelectorAll(".hit").forEach((el) => {
+    el.onclick = () => toggleSelect(el.dataset.id);
+  });
 
   // sidebar
   const thr = state.matchThreshold;
   let total = 0;
   $("tracks").innerHTML = state.detections
     .map((d) => {
-      const matches = (d.matches || []).filter((m) => m.score >= thr);
+      const matches = (d.matches || []).filter((m2) => m2.score >= thr);
       const best = matches[0];
       const price = parseFloat(best?.all_data?.prices?.usd ?? "");
       if (!isNaN(price)) total += price;
-      return `<div class="track">
+      const sel = d.id === state.selectedId ? " selected" : "";
+      return `<div class="track${sel}" data-id="${d.id}">
         <div class="track-head">
           ${d.img ? `<img src="data:image/jpeg;base64,${d.img}">` : ""}
           <div><span class="swatch" style="background:${d.color}"></span>
           <b>${best?.name ?? "…"}</b><br>
           <small>${best?.set_code?.toUpperCase?.() ?? ""} ${isNaN(price) ? "" : "$" + price.toFixed(2)}</small></div>
         </div>
-        ${matches.map((m) =>
-          `<div class="match"><span>${m.name} <small>(${m.set_code ?? ""})</small>
-           ${renderSymbols(m.all_data?.mana_cost)}</span>
-           <span class="score">${(m.score * 100).toFixed(0)}%</span></div>`).join("")}
+        ${matches.map((m2) =>
+          `<div class="match"><span>${m2.name} <small>(${m2.set_code ?? ""})</small>
+           ${renderSymbols(m2.all_data?.mana_cost)}</span>
+           <span class="score">${(m2.score * 100).toFixed(0)}%</span></div>`).join("")}
         ${best?.all_data?.oracle_text ? `<div style="font-size:11px;color:#999;margin-top:4px">${renderSymbols(best.all_data.oracle_text)}</div>` : ""}
       </div>`;
     })
     .join("");
+  document.querySelectorAll("#tracks .track").forEach((el) => {
+    el.onclick = () => toggleSelect(el.dataset.id);
+  });
   $("deck-value").textContent = total > 0 ? `Deck value: $${total.toFixed(2)}` : "";
 
   $("stats").textContent =
-    `proc ${state.stats.procTime.toFixed(1)} ms | period ${state.stats.period.toFixed(1)} ms\n` +
+    `${state.stats.fps.toFixed(1)} fps | proc ${state.stats.procTime.toFixed(1)} ms | period ${state.stats.period.toFixed(1)} ms\n` +
     `↑ ${(state.stats.up / 1024).toFixed(1)} KiB | ↓ ${(state.stats.down / 1024).toFixed(1)} KiB\n` +
     `tracks ${state.detections.length} | ws ${state.wsAlive ? "ok" : "reconnecting"}`;
 }
@@ -193,6 +225,10 @@ function bindSlider(id, apply, fmt = (v) => v) {
 bindSlider("period", (v) => (state.sendPeriodMs = v));
 bindSlider("quality", (v) => (state.sendQuality = v / 100));
 bindSlider("threshold", (v) => (state.matchThreshold = v / 100));
+for (const mode of ["quad", "mask", "points", "labels"]) {
+  const el = $(`mode-${mode}`);
+  if (el) el.onchange = () => { state.modes[mode] = el.checked; render(); };
+}
 
 // ---------- boot ----------
 (async () => {
