@@ -60,6 +60,7 @@ class FramePipeline:
         both_orientations: bool = True,
         refine: bool = True,
         fast_dewarp: bool = True,
+        dewarp_impl: str = "auto",  # "pallas" | "xla" | "auto"
     ):
         self.detector = detector
         self.det_variables = det_variables
@@ -73,6 +74,12 @@ class FramePipeline:
         self.both_orientations = both_orientations
         self.refine = refine
         self.fast_dewarp = fast_dewarp
+        if dewarp_impl == "auto":
+            # measured on v5e (64 crops / 8 frames): XLA bf16 two-pass 6.5 ms
+            # vs fused Pallas kernel 8.8-10 ms (ops/dewarp_pallas.py docstring)
+            # — the XLA path wins, the kernel stays available for explicit use
+            dewarp_impl = "xla"
+        self.dewarp_impl = dewarp_impl
         self._detect = jax.jit(self._detect_stage)
         self._rectify_embed = jax.jit(self._rectify_embed_stage)
         self._match = jax.jit(functools.partial(cosine_topk, k=top_k))
@@ -93,8 +100,11 @@ class FramePipeline:
     def _rectify_embed_stage(self, enc_vars, frames, masks, valid):
         b, h, w, _ = frames.shape
 
-        # masks are at 1/4 frame resolution — orient there, scale corners up
-        def per_frame(frame, frame_masks, frame_valid):
+        # masks are at 1/4 frame resolution — orient there, scale corners up.
+        # pass the CONTINUOUS sigmoid masks: orient_corners thresholds
+        # internally, and refine_corners exploits the soft boundary
+        # gradient for subpixel edge localization
+        def per_frame(frame_masks, frame_valid):
             def per_det(mask, ok_det):
                 corners, ok = orient_corners(mask)
                 if self.refine:
@@ -104,23 +114,28 @@ class FramePipeline:
                 corners = corners * (h / mask.shape[0])
                 return corners, ok & ok_det
 
-            corners, ok = jax.vmap(per_det)(frame_masks, frame_valid)
-            if self.fast_dewarp:
-                # gather-free two-pass resample (ops/warp.py) — the bilinear
-                # gather warp was 59 ms of the 77 ms r1 frame budget
-                from mtgvision_tpu.ops.warp import dewarp_quads_batch
+            return jax.vmap(per_det)(frame_masks, frame_valid)
 
-                crops = dewarp_quads_batch(frame, corners, out_hw=self.crop_hw)
-            else:
-                crops = jax.vmap(
-                    lambda q: extract_dewarped(frame, q, out_hw=self.crop_hw)
-                )(corners)
-            return crops, corners, ok
+        corners, ok = jax.vmap(per_frame)(masks, valid)
+        if self.fast_dewarp and self.dewarp_impl == "pallas":
+            # fused VMEM-resident kernel, one flat (B·D,) grid
+            from mtgvision_tpu.ops.dewarp_pallas import dewarp_quads_pallas_frames
 
-        # pass the CONTINUOUS sigmoid masks: orient_corners thresholds
-        # internally, and refine_corners exploits the soft boundary
-        # gradient for subpixel edge localization
-        crops, corners, ok = jax.vmap(per_frame)(frames, masks, valid)
+            crops = dewarp_quads_pallas_frames(frames, corners, out_hw=self.crop_hw)
+        elif self.fast_dewarp:
+            # gather-free two-pass resample (ops/warp.py) — the bilinear
+            # gather warp was 59 ms of the 77 ms r1 frame budget
+            from mtgvision_tpu.ops.warp import dewarp_quads_batch
+
+            crops = jax.vmap(
+                lambda f, q: dewarp_quads_batch(f, q, out_hw=self.crop_hw)
+            )(frames, corners)
+        else:
+            crops = jax.vmap(
+                lambda f, qs: jax.vmap(
+                    lambda q: extract_dewarped(f, q, out_hw=self.crop_hw)
+                )(qs)
+            )(frames, corners)
         flat_crops = crops.reshape(b * self.max_det, *self.crop_hw, 3)
         if self.both_orientations:
             # notch-based top/bottom disambiguation (orient.py) occasionally

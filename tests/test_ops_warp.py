@@ -179,3 +179,51 @@ class TestDewarpTwoPass:
         assert out.shape == (4, 192, 128, 3)
         assert bool(jnp.isfinite(out).all())
         assert float(out.max()) <= 1.0 and float(out.min()) >= 0.0
+
+
+class TestDewarpPallas(TestDewarpTwoPass):
+    """Fused Pallas kernel (interpret mode on CPU) vs the XLA two-pass path.
+
+    Same math modulo precision (kernel accumulates f32, XLA path bf16), so
+    the tolerance is much tighter than vs the gather warp."""
+
+    @pytest.mark.parametrize("deg", [0, 25, 90, 137, 180, 262])
+    def test_matches_xla_two_pass(self, deg):
+        from mtgvision_tpu.ops.dewarp_pallas import dewarp_quads_pallas
+        from mtgvision_tpu.ops.warp import dewarp_quads_batch
+
+        frame = self._frame()
+        q = jnp.asarray(self._quad(deg, 320, 330))[None]
+        ref = np.asarray(dewarp_quads_batch(frame, q)[0])
+        out = np.asarray(dewarp_quads_pallas(frame, q, interpret=True)[0])
+        assert out.shape == ref.shape
+        d = np.abs(out - ref)[2:-2, 2:-2]
+        assert d.mean() < 6e-3, (deg, d.mean())
+        assert d.max() < 0.08, (deg, d.max())
+
+    def test_perspective_and_pyramid(self):
+        from mtgvision_tpu.ops.dewarp_pallas import dewarp_quads_pallas
+        from mtgvision_tpu.ops.warp import dewarp_quads_batch
+
+        frame = self._frame()
+        qs = jnp.asarray(
+            np.stack(
+                [
+                    self._quad(40, 300, 300, persp=0.12),
+                    self._quad(15, 320, 320, ch=420, cw_=294),  # coarser level
+                ]
+            )
+        )
+        ref = np.asarray(dewarp_quads_batch(frame, qs))
+        out = np.asarray(dewarp_quads_pallas(frame, qs, interpret=True))
+        d = np.abs(out - ref)[:, 2:-2, 2:-2]
+        assert d.mean() < 8e-3, d.mean()
+
+    def test_degenerate_quad_is_finite(self):
+        from mtgvision_tpu.ops.dewarp_pallas import dewarp_quads_pallas
+
+        frame = self._frame()
+        qs = jnp.zeros((1, 4, 2), jnp.float32)  # invalid slot (ok=False)
+        out = dewarp_quads_pallas(frame, qs, interpret=True)
+        assert out.shape == (1, 192, 128, 3)
+        assert float(out.max()) <= 1.0 and float(out.min()) >= 0.0
