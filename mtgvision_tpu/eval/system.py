@@ -88,6 +88,10 @@ def build_system(
     max_det: int = 8,
     score_thresh: float = 0.25,
     populate_batch: int = 64,
+    refine: bool = True,
+    both_orientations: bool = True,
+    fast_dewarp: bool = True,
+    orient_sign: str = "notch",
 ):
     """(FramePipeline with store attached, catalog). Populates the index by
     embedding every catalog card's crop (qdrant_populate.py:70-90 semantics)."""
@@ -115,6 +119,8 @@ def build_system(
     pipe = FramePipeline(
         det, det_vars, enc, enc_vars, store=store,
         max_det=max_det, score_thresh=score_thresh,
+        refine=refine, both_orientations=both_orientations,
+        fast_dewarp=fast_dewarp, orient_sign=orient_sign,
     )
     return pipe, catalog
 
@@ -134,6 +140,12 @@ def main(argv=None):
     ap.add_argument("--score-thresh", type=float, default=0.25)
     ap.add_argument("--max-cards", type=int, default=4)
     ap.add_argument("--json-out", default=None)
+    # pipeline-option ablations (y/n)
+    ap.add_argument("--refine", default="y", choices=("y", "n"))
+    ap.add_argument("--both-orientations", default="y", choices=("y", "n"))
+    ap.add_argument("--fast-dewarp", default="y", choices=("y", "n"))
+    ap.add_argument("--orient-sign", default="notch", choices=("notch", "extent"))
+    ap.add_argument("--seed", type=int, default=0, help="scene-stream seed")
     args = ap.parse_args(argv)
 
     catalog = ProceduralCatalog(n_cards=args.n_cards)
@@ -141,9 +153,14 @@ def main(argv=None):
         args.det, args.enc, catalog,
         det_size=args.det_size, enc_model=args.enc_model,
         score_thresh=args.score_thresh,
+        refine=args.refine == "y",
+        both_orientations=args.both_orientations == "y",
+        fast_dewarp=args.fast_dewarp == "y",
+        orient_sign=args.orient_sign,
     )
     gen = SceneGenerator(
-        catalog, ProceduralBackgrounds(), num_cards_min=1, num_cards_max=args.max_cards
+        catalog, ProceduralBackgrounds(), num_cards_min=1,
+        num_cards_max=args.max_cards, seed=args.seed,
     )
     stats = evaluate_e2e(pipe, gen, n_scenes=args.n_scenes)
     print(stats)

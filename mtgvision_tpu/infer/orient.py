@@ -34,8 +34,12 @@ import jax.numpy as jnp
 from mtgvision_tpu.ops.warp import perspective_from_quads, warp_perspective
 
 
-def orient_corners(mask: jnp.ndarray):
+def orient_corners(mask: jnp.ndarray, sign_mode: str = "notch"):
     """(H, W) float mask → (corners (4,2) xy [TL,TR,BR,BL], ok flag).
+
+    ``sign_mode`` selects the top/bottom disambiguation: "notch" (coverage
+    difference in the central-strip end bands — see below) or "extent" (the
+    r1 centroid-extent sign, kept for A/B evaluation).
 
     Fully differentiable-free forward math; NaN-safe for empty masks
     (ok=False and corners=0).
@@ -98,7 +102,10 @@ def orient_corners(mask: jnp.ndarray):
     asym = cov_neg - cov_pos  # >0 ⇒ +axis end is the notched (bottom) side
     ext_sign = jnp.where(pmax >= -pmin, 1.0, -1.0)
     rel = jnp.abs(asym) / jnp.maximum(cov_pos + cov_neg, 1e-3)
-    sign = jnp.where(rel > 0.04, jnp.sign(asym), ext_sign)
+    if sign_mode == "extent":
+        sign = ext_sign
+    else:
+        sign = jnp.where(rel > 0.04, jnp.sign(asym), ext_sign)
     down = v * sign  # unit vector pointing top→bottom of the card
     # left→right axis: down rotated −90° in y-DOWN screen coordinates
     right = jnp.stack([down[1], -down[0]])

@@ -61,6 +61,7 @@ class FramePipeline:
         refine: bool = True,
         fast_dewarp: bool = True,
         dewarp_impl: str = "auto",  # "pallas" | "xla" | "auto"
+        orient_sign: str = "notch",  # "notch" | "extent" (orient.py)
     ):
         self.detector = detector
         self.det_variables = det_variables
@@ -74,6 +75,7 @@ class FramePipeline:
         self.both_orientations = both_orientations
         self.refine = refine
         self.fast_dewarp = fast_dewarp
+        self.orient_sign = orient_sign
         if dewarp_impl == "auto":
             # measured on v5e (64 crops / 8 frames): XLA bf16 two-pass 6.5 ms
             # vs fused Pallas kernel 8.8-10 ms (ops/dewarp_pallas.py docstring)
@@ -110,7 +112,7 @@ class FramePipeline:
         # gradient for subpixel edge localization
         def per_frame(frame_masks, frame_valid):
             def per_det(mask, ok_det):
-                corners, ok = orient_corners(mask)
+                corners, ok = orient_corners(mask, sign_mode=self.orient_sign)
                 if self.refine:
                     # subpixel line-fit refinement at mask res BEFORE the ×4
                     # upscale — cuts the r1 ~15-19 px quad error (orient.py)

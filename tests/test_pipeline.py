@@ -138,10 +138,22 @@ def test_dual_orientation_match_selects_flip():
     # index: single "upright" card embedding [positive, 1]
     db = jnp.asarray([[1.0, 1.0]]) / np.sqrt(2.0)
 
-    # emulate run()'s match stage
-    n_or = 2
-    ms, mi = pipe._match(z.reshape(n_or * b * d, -1), db)
-    ms = ms.reshape(n_or, b, d, 1)
-    flipped = ms[1, ..., 0] > ms[0, ..., 0]
+    # the real fused match+select program (stage 3)
+    pipe._match_select = jax.jit(pipe._match_select_stage)
+    match_scores, match_idx, corners_out, flipped, z_sel = pipe._match_select(
+        z, jnp.asarray(corners), db
+    )
     assert not bool(flipped[0, 0])  # upright crop stays
     assert bool(flipped[0, 1])  # flipped crop wins rotated
+    # corners of the flipped detection are rolled 180° (TL↔BR, TR↔BL)
+    np.testing.assert_allclose(
+        np.asarray(corners_out[0, 0]), corners[0, 0], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(corners_out[0, 1]), np.roll(corners[0, 1], 2, axis=0), atol=1e-6
+    )
+    # z_sel carries the embedding of the SELECTED orientation
+    np.testing.assert_allclose(np.asarray(z_sel[0, 0]), np.asarray(z[0, 0, 0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(z_sel[0, 1]), np.asarray(z[1, 0, 1]), atol=1e-6)
+    # and the reported match score is the better orientation's
+    assert float(match_scores[0, 1, 0]) >= float(match_scores[0, 0, 0]) - 1e-6
