@@ -74,7 +74,7 @@ def main(argv=None):
 
     # stage 2: orient + dewarp + embed (both orientations)
     def s_rectify(c):
-        crops, corners, ok, z = pipe._rectify_embed(
+        crops, corners, ok, z, _hf = pipe._rectify_embed(
             pipe.enc_variables, frames + c, masks, valid
         )
         return 0.0 * z[0, 0, 0, 0]
@@ -82,7 +82,7 @@ def main(argv=None):
     out["rectify_embed_s"] = _timed(s_rectify, jnp.zeros((), jnp.float32), args.iters)
 
     # stage 3: match
-    _, _, _, z = pipe._rectify_embed(pipe.enc_variables, frames, masks, valid)
+    _, _, _, z, _hf = pipe._rectify_embed(pipe.enc_variables, frames, masks, valid)
     zf = z.reshape(-1, z.shape[-1])
 
     def s_match(c):

@@ -88,10 +88,11 @@ def build_system(
     max_det: int = 8,
     score_thresh: float = 0.25,
     populate_batch: int = 64,
-    refine: bool = True,
+    refine: bool = False,
     both_orientations: bool = True,
     fast_dewarp: bool = True,
     orient_sign: str = "notch",
+    orient_head_ckpt: str = "",
 ):
     """(FramePipeline with store attached, catalog). Populates the index by
     embedding every catalog card's crop (qdrant_populate.py:70-90 semantics)."""
@@ -116,11 +117,20 @@ def build_system(
                    crop_hw=(192, 128))
     populate_card_info(store, catalog)
 
+    head = head_vars = None
+    if orient_head_ckpt:
+        from mtgvision_tpu.models.orient_head import OrientHead
+
+        head = OrientHead()
+        head_vars = _restore_tree(orient_head_ckpt)
+        head_vars = {"params": head_vars["params"]}
+
     pipe = FramePipeline(
         det, det_vars, enc, enc_vars, store=store,
         max_det=max_det, score_thresh=score_thresh,
         refine=refine, both_orientations=both_orientations,
         fast_dewarp=fast_dewarp, orient_sign=orient_sign,
+        orient_head=head, orient_head_vars=head_vars,
     )
     return pipe, catalog
 
@@ -141,7 +151,8 @@ def main(argv=None):
     ap.add_argument("--max-cards", type=int, default=4)
     ap.add_argument("--json-out", default=None)
     # pipeline-option ablations (y/n)
-    ap.add_argument("--refine", default="y", choices=("y", "n"))
+    ap.add_argument("--orient-head", default="", help="OrientHead ckpt dir")
+    ap.add_argument("--refine", default="n", choices=("y", "n"))
     ap.add_argument("--both-orientations", default="y", choices=("y", "n"))
     ap.add_argument("--fast-dewarp", default="y", choices=("y", "n"))
     ap.add_argument("--orient-sign", default="notch", choices=("notch", "extent"))
@@ -157,6 +168,7 @@ def main(argv=None):
         both_orientations=args.both_orientations == "y",
         fast_dewarp=args.fast_dewarp == "y",
         orient_sign=args.orient_sign,
+        orient_head_ckpt=args.orient_head,
     )
     gen = SceneGenerator(
         catalog, ProceduralBackgrounds(), num_cards_min=1,

@@ -58,10 +58,15 @@ class FramePipeline:
         top_k: int = 3,
         score_thresh: float = 0.25,
         both_orientations: bool = True,
-        refine: bool = True,
+        # refine_corners measured on PREDICTED masks (scripts/orient_diag.py,
+        # artifacts_r2): quad err 11.28 → 11.6 px, e2e top-1 0.52 → 0.45 — the
+        # subpixel line fits only help on clean masks, so serving defaults OFF
+        refine: bool = False,
         fast_dewarp: bool = True,
         dewarp_impl: str = "auto",  # "pallas" | "xla" | "auto"
         orient_sign: str = "notch",  # "notch" | "extent" (orient.py)
+        orient_head=None,  # models/orient_head.OrientHead | None
+        orient_head_vars=None,
     ):
         self.detector = detector
         self.det_variables = det_variables
@@ -76,6 +81,16 @@ class FramePipeline:
         self.refine = refine
         self.fast_dewarp = fast_dewarp
         self.orient_sign = orient_sign
+        # pixel-space orientation classifier (models/orient_head.py): when
+        # present, crops are un-rotated BEFORE the encoder and the pipeline
+        # runs a SINGLE encoder pass — the measured mask-notch signal is
+        # unreadable at proto res (scripts/orient_diag.py: 0.30+ flip on
+        # predicted masks), while crop pixels carry the card's top/bottom
+        # layout directly. both_orientations remains the head-free fallback.
+        self.orient_head = orient_head
+        self.orient_head_vars = orient_head_vars
+        if orient_head is not None:
+            self.both_orientations = False
         if dewarp_impl == "auto":
             # measured on v5e (64 crops / 8 frames): XLA bf16 two-pass 6.5 ms
             # vs fused Pallas kernel 8.8-10 ms (ops/dewarp_pallas.py docstring)
@@ -114,8 +129,9 @@ class FramePipeline:
             def per_det(mask, ok_det):
                 corners, ok = orient_corners(mask, sign_mode=self.orient_sign)
                 if self.refine:
-                    # subpixel line-fit refinement at mask res BEFORE the ×4
-                    # upscale — cuts the r1 ~15-19 px quad error (orient.py)
+                    # subpixel line-fit refinement at mask res (orient.py) —
+                    # helps on clean masks (<1.6 px), measured NEUTRAL-to-
+                    # harmful on predicted sigmoid masks (see __init__ note)
                     corners = refine_corners(mask, corners)
                 corners = corners * (h / mask.shape[0])
                 return corners, ok & ok_det
@@ -143,6 +159,22 @@ class FramePipeline:
                 )(qs)
             )(frames, corners)
         flat_crops = crops.reshape(b * self.max_det, *self.crop_hw, 3)
+        head_flip = jnp.zeros((b, self.max_det), bool)
+        if self.orient_head is not None:
+            # classify + un-rotate BEFORE the encoder: one tiny conv head
+            # (~1% of an encoder pass) replaces the 2× dual-orientation cost
+            logits = self.orient_head.apply(self.orient_head_vars, flat_crops)
+            flip = logits > 0.0
+            flat_crops = jnp.where(
+                flip[:, None, None, None],
+                jnp.rot90(flat_crops, 2, axes=(1, 2)),
+                flat_crops,
+            )
+            head_flip = flip.reshape(b, self.max_det)
+            corners = jnp.where(
+                head_flip[..., None, None], jnp.roll(corners, 2, axis=2), corners
+            )
+            crops = flat_crops.reshape(b, self.max_det, *self.crop_hw, 3)
         if self.both_orientations:
             # notch-based top/bottom disambiguation (orient.py) occasionally
             # flips 180°; embedding BOTH orientations lets the index match
@@ -157,7 +189,7 @@ class FramePipeline:
             z = self.encoder.apply(enc_vars, flat_crops)[None].reshape(
                 1, b, self.max_det, -1
             )
-        return crops, corners, ok, z
+        return crops, corners, ok, z, head_flip
 
     # -- stage 3: match + orientation selection ------------------------------
 
@@ -193,16 +225,17 @@ class FramePipeline:
     def run(self, frames, index_mat=None):
         b = frames.shape[0]
         boxes, scores, classes, masks, valid = self._detect(self.det_variables, frames)
-        crops, corners, ok, z = self._rectify_embed(
+        crops, corners, ok, z, head_flip = self._rectify_embed(
             self.enc_variables, frames, masks, valid
         )
         match_scores = match_idx = None
-        flipped = jnp.zeros((b, self.max_det), bool)
+        flipped = head_flip
         z_sel = z[0]
         if index_mat is not None:
-            match_scores, match_idx, corners, flipped, z_sel = self._match_select(
+            match_scores, match_idx, corners, m_flip, z_sel = self._match_select(
                 z, corners, index_mat
             )
+            flipped = flipped ^ m_flip
         return {
             "boxes": boxes,
             "det_scores": scores,

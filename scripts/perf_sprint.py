@@ -102,7 +102,7 @@ def main():
 
         for name, pipe in pipes.items():
             def s_rect(c, pipe=pipe):
-                crops, corners, ok, z = pipe._rectify_embed(
+                crops, corners, ok, z, _hf = pipe._rectify_embed(
                     pipe.enc_variables, frames + c, masks, valid
                 )
                 return 0.0 * z[0, 0, 0, 0]
@@ -119,7 +119,7 @@ def main():
 
         # match stage (dual z shape)
         pipe = pipes["dual"]
-        _, _, _, z = pipe._rectify_embed(pipe.enc_variables, frames, masks, valid)
+        _, _, _, z, _hf = pipe._rectify_embed(pipe.enc_variables, frames, masks, valid)
         zf = z.reshape(-1, z.shape[-1])
 
         def s_match(c):
