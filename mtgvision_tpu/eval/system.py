@@ -89,6 +89,7 @@ def build_system(
     score_thresh: float = 0.25,
     populate_batch: int = 64,
     refine: bool = False,
+    refine_crop: bool = True,
     both_orientations: bool = True,
     fast_dewarp: bool = True,
     orient_sign: str = "notch",
@@ -128,7 +129,8 @@ def build_system(
     pipe = FramePipeline(
         det, det_vars, enc, enc_vars, store=store,
         max_det=max_det, score_thresh=score_thresh,
-        refine=refine, both_orientations=both_orientations,
+        refine=refine, refine_crop=refine_crop,
+        both_orientations=both_orientations,
         fast_dewarp=fast_dewarp, orient_sign=orient_sign,
         orient_head=head, orient_head_vars=head_vars,
     )
@@ -153,6 +155,7 @@ def main(argv=None):
     # pipeline-option ablations (y/n)
     ap.add_argument("--orient-head", default="", help="OrientHead ckpt dir")
     ap.add_argument("--refine", default="n", choices=("y", "n"))
+    ap.add_argument("--refine-crop", default="y", choices=("y", "n"))
     ap.add_argument("--both-orientations", default="y", choices=("y", "n"))
     ap.add_argument("--fast-dewarp", default="y", choices=("y", "n"))
     ap.add_argument("--orient-sign", default="notch", choices=("notch", "extent"))
@@ -165,6 +168,7 @@ def main(argv=None):
         det_size=args.det_size, enc_model=args.enc_model,
         score_thresh=args.score_thresh,
         refine=args.refine == "y",
+        refine_crop=args.refine_crop == "y",
         both_orientations=args.both_orientations == "y",
         fast_dewarp=args.fast_dewarp == "y",
         orient_sign=args.orient_sign,

@@ -31,7 +31,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from mtgvision_tpu.ops.warp import perspective_from_quads, warp_perspective
+from mtgvision_tpu.ops.warp import (
+    apply_transform_points,
+    perspective_from_quads,
+    warp_perspective,
+)
 
 
 def orient_corners(mask: jnp.ndarray, sign_mode: str = "notch"):
@@ -245,6 +249,143 @@ def extract_dewarped(
     )
     m = perspective_from_quads(corners.astype(jnp.float32), dst)
     return warp_perspective(frame, m, out_hw)
+
+
+def refine_quad_from_crop(
+    crop: jnp.ndarray,
+    corners: jnp.ndarray,
+    out_hw: tuple[int, int] = (192, 128),
+    expand_ratio: float = 0.05,
+    search_px: float = 9.0,
+    max_move: float = 8.0,
+):
+    """FULL-RESOLUTION corner refinement in dewarped-crop space.
+
+    Mask-based corners quantize to the proto grid (H/4): ~3 px there = ~12 px
+    at frame res — the r1/r2 quad-error floor. But the dewarped crop ALREADY
+    resamples the frame at full card resolution: if the corners were exact,
+    the card's physical edges would sit exactly on the ``expand_ratio``
+    margin lines of the crop. So measure where the edges actually are —
+    image-gradient profiles reduced along each edge (two half-bands per edge
+    → a line each), pure row/column reductions, NO gathers — intersect the
+    four lines for corrected crop-space corners, and map them back to frame
+    space through the known crop→frame homography.
+
+    The reference has no equivalent (it trusts approxPolyN on the full-res
+    ultralytics mask, od_export.py:75-88); this is the TPU-native route to
+    sub-proto-grid corners without touching full-res masks.
+
+    crop: (OH, OW, 3) float; corners: (4, 2) frame-space [TL,TR,BR,BL] that
+    PRODUCED the crop. Returns refined (4, 2) frame-space corners; falls back
+    per-edge when the gradient peak is weak/ambiguous, and clamps the total
+    correction to ``max_move`` crop px.
+    """
+    oh, ow = out_hw
+    e = expand_ratio
+    gray = jnp.mean(crop.astype(jnp.float32), -1)
+    # central-difference gradients (roll wrap rows/cols are outside every
+    # search window — the windows live ≥1 px inside the border)
+    gx = jnp.abs(jnp.roll(gray, -1, 1) - jnp.roll(gray, 1, 1))
+    gy = jnp.abs(jnp.roll(gray, -1, 0) - jnp.roll(gray, 1, 0))
+
+    xs = jnp.arange(ow, dtype=jnp.float32)
+    ys = jnp.arange(oh, dtype=jnp.float32)
+
+    def edge_offset(profile, coords, center, halfw, outward):
+        """Outermost significant gradient peak inside [center±halfw].
+
+        A card has TWO strong parallel lines near each edge (the physical
+        edge and the inner frame line, often stronger) — a plain soft-argmax
+        blends them and bites the inner line. Instead: threshold at half the
+        window max, take the peak FARTHEST toward the crop border
+        (``outward`` = −1 for left/top, +1 for right/bottom), then localize
+        with a ±1.5 px local soft-argmax. Returns (position, peakiness)."""
+        win = (jnp.abs(coords - center) <= halfw).astype(jnp.float32)
+        p = profile * win
+        peak = jnp.max(p)
+        sig = (p >= 0.5 * peak).astype(jnp.float32)
+        idx = jnp.argmax(sig * (outward * coords + 2.0 * halfw + center))
+        c0 = coords[idx]
+        local = p * (jnp.abs(coords - c0) <= 1.5)
+        pos = jnp.sum(local * coords) / jnp.maximum(jnp.sum(local), 1e-6)
+        mean_bg = jnp.sum(p) / jnp.maximum(jnp.sum(win), 1.0)
+        return pos, peak / jnp.maximum(mean_bg, 1e-6)  # peakiness ratio
+
+    # vertical edges (left at x≈e·W, right at x≈(1−e)·W): reduce |gx| over
+    # two row half-bands → two points each; horizontal edges likewise
+    y_in = ((ys > 0.15 * oh) & (ys < 0.85 * oh)).astype(jnp.float32)
+    x_in = ((xs > 0.15 * ow) & (xs < 0.85 * ow)).astype(jnp.float32)
+    y_hi = y_in * (ys < 0.5 * oh)
+    y_lo = y_in * (ys >= 0.5 * oh)
+    x_hi = x_in * (xs < 0.5 * ow)
+    x_lo = x_in * (xs >= 0.5 * ow)
+
+    def vline(x_center, band, outward):
+        prof = jnp.einsum("hw,h->w", gx, band) / jnp.maximum(jnp.sum(band), 1.0)
+        return edge_offset(prof, xs, x_center, search_px, outward)
+
+    def hline(y_center, band, outward):
+        prof = jnp.einsum("hw,w->h", gy, band) / jnp.maximum(jnp.sum(band), 1.0)
+        return edge_offset(prof, ys, y_center, search_px, outward)
+
+    yc_hi = jnp.sum(y_hi * ys) / jnp.maximum(jnp.sum(y_hi), 1.0)
+    yc_lo = jnp.sum(y_lo * ys) / jnp.maximum(jnp.sum(y_lo), 1.0)
+    xc_hi = jnp.sum(x_hi * xs) / jnp.maximum(jnp.sum(x_hi), 1.0)
+    xc_lo = jnp.sum(x_lo * xs) / jnp.maximum(jnp.sum(x_lo), 1.0)
+
+    min_peak = 1.6  # peak must stand out of its window to count as an edge
+
+    def fit_v(x_center, outward):
+        (xa, pa) = vline(x_center, y_hi, outward)
+        (xb, pb) = vline(x_center, y_lo, outward)
+        xa = jnp.where(pa > min_peak, xa, x_center)
+        xb = jnp.where(pb > min_peak, xb, x_center)
+        # line through (xa, yc_hi), (xb, yc_lo):  x(y) = x0 + slope·y
+        slope = (xb - xa) / jnp.maximum(yc_lo - yc_hi, 1.0)
+        x0 = xa - slope * yc_hi
+        return x0, slope
+
+    def fit_h(y_center, outward):
+        (ya, pa) = hline(y_center, x_hi, outward)
+        (yb, pb) = hline(y_center, x_lo, outward)
+        ya = jnp.where(pa > min_peak, ya, y_center)
+        yb = jnp.where(pb > min_peak, yb, y_center)
+        slope = (yb - ya) / jnp.maximum(xc_lo - xc_hi, 1.0)
+        y0 = ya - slope * xc_hi
+        return y0, slope
+
+    lx0, lsl = fit_v(e * ow, -1.0)
+    rx0, rsl = fit_v((1 - e) * ow, 1.0)
+    ty0, tsl = fit_h(e * oh, -1.0)
+    by0, bsl = fit_h((1 - e) * oh, 1.0)
+
+    def xsect(x0, xsl, y0, ysl):
+        """x = x0 + xsl·y with y = y0 + ysl·x."""
+        y = (y0 + ysl * x0) / jnp.maximum(1.0 - ysl * xsl, 1e-3)
+        return jnp.stack([x0 + xsl * y, y])
+
+    new_crop = jnp.stack(
+        [
+            xsect(lx0, lsl, ty0, tsl),  # TL
+            xsect(rx0, rsl, ty0, tsl),  # TR
+            xsect(rx0, rsl, by0, bsl),  # BR
+            xsect(lx0, lsl, by0, bsl),  # BL
+        ]
+    )
+    dst = jnp.asarray(
+        [[ow * e, oh * e], [ow * (1 - e), oh * e],
+         [ow * (1 - e), oh * (1 - e)], [ow * e, oh * (1 - e)]],
+        jnp.float32,
+    )
+    move = jnp.linalg.norm(new_crop - dst, axis=-1, keepdims=True)
+    scale = jnp.minimum(1.0, max_move / jnp.maximum(move, 1e-6))
+    new_crop = dst + (new_crop - dst) * scale  # clamp runaway corrections
+    # back-project: crop→frame homography = inverse of the dewarp's
+    m = perspective_from_quads(corners.astype(jnp.float32), dst)
+    m_inv = jnp.linalg.inv(m)
+    out = apply_transform_points(m_inv, new_crop)
+    ok = jnp.all(jnp.isfinite(out))
+    return jnp.where(ok, out, corners)
 
 
 def orient_batch(masks: jnp.ndarray):

@@ -32,7 +32,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mtgvision_tpu.infer.orient import extract_dewarped, orient_corners, refine_corners
+from mtgvision_tpu.infer.orient import (
+    extract_dewarped,
+    orient_corners,
+    refine_corners,
+    refine_quad_from_crop,
+)
 from mtgvision_tpu.models.convnextv2ae import ConvNeXtV2Encoder
 from mtgvision_tpu.models.yolo import YoloSeg, detect
 from mtgvision_tpu.ops.topk import cosine_topk
@@ -62,6 +67,10 @@ class FramePipeline:
         # artifacts_r2): quad err 11.28 → 11.6 px, e2e top-1 0.52 → 0.45 — the
         # subpixel line fits only help on clean masks, so serving defaults OFF
         refine: bool = False,
+        # full-resolution corner snap in dewarped-crop space + second dewarp
+        # (orient.refine_quad_from_crop): breaks the proto-grid (~12 px)
+        # corner floor at the cost of one extra dewarp pass
+        refine_crop: bool = True,
         fast_dewarp: bool = True,
         dewarp_impl: str = "auto",  # "pallas" | "xla" | "auto"
         orient_sign: str = "notch",  # "notch" | "extent" (orient.py)
@@ -79,6 +88,7 @@ class FramePipeline:
         self.score_thresh = score_thresh
         self.both_orientations = both_orientations
         self.refine = refine
+        self.refine_crop = refine_crop
         self.fast_dewarp = fast_dewarp
         self.orient_sign = orient_sign
         # pixel-space orientation classifier (models/orient_head.py): when
@@ -139,25 +149,44 @@ class FramePipeline:
             return jax.vmap(per_det)(frame_masks, frame_valid)
 
         corners, ok = jax.vmap(per_frame)(masks, valid)
-        if self.fast_dewarp and self.dewarp_impl == "pallas":
-            # fused VMEM-resident kernel, one flat (B·D,) grid
-            from mtgvision_tpu.ops.dewarp_pallas import dewarp_quads_pallas_frames
 
-            crops = dewarp_quads_pallas_frames(frames, corners, out_hw=self.crop_hw)
-        elif self.fast_dewarp:
-            # gather-free two-pass resample (ops/warp.py) — the bilinear
-            # gather warp was 59 ms of the 77 ms r1 frame budget
-            from mtgvision_tpu.ops.warp import dewarp_quads_batch
+        def dewarp(corners_):
+            if self.fast_dewarp and self.dewarp_impl == "pallas":
+                # fused VMEM-resident kernel, one flat (B·D,) grid
+                from mtgvision_tpu.ops.dewarp_pallas import (
+                    dewarp_quads_pallas_frames,
+                )
 
-            crops = jax.vmap(
-                lambda f, q: dewarp_quads_batch(f, q, out_hw=self.crop_hw)
-            )(frames, corners)
-        else:
-            crops = jax.vmap(
+                return dewarp_quads_pallas_frames(
+                    frames, corners_, out_hw=self.crop_hw
+                )
+            if self.fast_dewarp:
+                # gather-free two-pass resample (ops/warp.py) — the bilinear
+                # gather warp was 59 ms of the 77 ms r1 frame budget
+                from mtgvision_tpu.ops.warp import dewarp_quads_batch
+
+                return jax.vmap(
+                    lambda f, q: dewarp_quads_batch(f, q, out_hw=self.crop_hw)
+                )(frames, corners_)
+            return jax.vmap(
                 lambda f, qs: jax.vmap(
                     lambda q: extract_dewarped(f, q, out_hw=self.crop_hw)
                 )(qs)
-            )(frames, corners)
+            )(frames, corners_)
+
+        crops = dewarp(corners)
+        if self.refine_crop:
+            # full-res edge snap in crop space (orient.refine_quad_from_crop)
+            # then a SECOND dewarp off the corrected corners — the proto-grid
+            # mask corners are ~12 px coarse at frame res; the crop sees the
+            # card's physical edges at full resolution
+            refined = jax.vmap(
+                jax.vmap(
+                    lambda c, q: refine_quad_from_crop(c, q, out_hw=self.crop_hw)
+                )
+            )(crops, corners)
+            corners = jnp.where(ok[..., None, None], refined, corners)
+            crops = dewarp(corners)
         flat_crops = crops.reshape(b * self.max_det, *self.crop_hw, 3)
         head_flip = jnp.zeros((b, self.max_det), bool)
         if self.orient_head is not None:

@@ -223,6 +223,7 @@ def build_pipeline(
     det_size: str = "s",
     enc_model: str = "cnvnxt2ae_nano",
     store=None,
+    orient_head_ckpt: str | None = None,
 ):
     """FramePipeline from checkpoints (trained serving) or random weights
     (smoke runs). Checkpoint dirs accept slim exports or train ckpt dirs
@@ -257,7 +258,20 @@ def build_pipeline(
                 jax.random.PRNGKey(0), jnp.zeros((1, 192, 128, 3))
             )["params"]
         }
-    return FramePipeline(det, det_vars, enc, enc_vars, store=store)
+    head = head_vars = None
+    if orient_head_ckpt:
+        # trained pixel-space orientation head → single encoder pass
+        # (models/orient_head.py); without it the pipeline embeds both
+        # orientations and lets the index match disambiguate
+        from mtgvision_tpu.eval.system import _restore_tree
+        from mtgvision_tpu.models.orient_head import OrientHead
+
+        head = OrientHead()
+        head_vars = {"params": _restore_tree(orient_head_ckpt)["params"]}
+    return FramePipeline(
+        det, det_vars, enc, enc_vars, store=store,
+        orient_head=head, orient_head_vars=head_vars,
+    )
 
 
 def main(argv=None):
@@ -279,6 +293,7 @@ def main(argv=None):
     ap.add_argument("--det-size", default="s")
     ap.add_argument("--enc-model", default="cnvnxt2ae_nano")
     ap.add_argument("--index", default=None, help="VectorStore save_to_dir path")
+    ap.add_argument("--orient-head", default=None, help="OrientHead ckpt dir")
     args = ap.parse_args(argv)
 
     store = None
@@ -286,7 +301,10 @@ def main(argv=None):
         from mtgvision_tpu.index.store import VectorStore
 
         store = VectorStore.load_from_dir(args.index)
-    pipe = build_pipeline(args.det, args.enc, args.det_size, args.enc_model, store)
+    pipe = build_pipeline(
+        args.det, args.enc, args.det_size, args.enc_model, store,
+        orient_head_ckpt=args.orient_head,
+    )
     app = make_app(lambda: TrackerCtx(pipe), pathlib.Path(args.static_dir))
     web.run_app(app, host=args.host, port=args.port)
 

@@ -237,14 +237,29 @@ def train_step(state: TrainState, batch, config: EncoderConfig):
 
     trainable = {"params": state.params, "loss_weights": state.loss_weights}
     (loss, logs), grads = jax.value_and_grad(wrapped, has_aux=True)(trainable)
-    updates, opt_state = state.tx.update(grads, state.opt_state, trainable)
+    # Non-finite guard: one bad batch (circle loss is spiky on hard batches)
+    # must not poison the params — the r2 100k run hit NaN at step 38130 and
+    # trained on NaN thereafter. Skip the update (params AND opt_state) when
+    # loss or any grad is non-finite; surface the skip in the logs.
+    finite = jnp.isfinite(loss) & jax.tree.reduce(
+        lambda a, g: a & jnp.isfinite(g).all(), grads, jnp.asarray(True)
+    )
+    safe_grads = jax.tree.map(lambda g: jnp.where(finite, g, 0.0), grads)
+    updates, opt_state = state.tx.update(safe_grads, state.opt_state, trainable)
     new = optax.apply_updates(trainable, updates)
+    keep = lambda n, o: jax.tree.map(  # noqa: E731
+        lambda a, b: jnp.where(finite, a, b), n, o
+    )
+    logs["skipped_nonfinite"] = 1.0 - finite.astype(jnp.float32)
+    # sanitize with a LARGE sentinel (not 0): chunk-mean losses feed the
+    # keep-top-k checkpoint score, where 0 would rank a NaN chunk "best"
+    logs = {k: jnp.where(jnp.isfinite(v), v, 1e6) for k, v in logs.items()}
     return (
         state.replace(
             step=state.step + 1,
-            params=new["params"],
-            loss_weights=new["loss_weights"],
-            opt_state=opt_state,
+            params=keep(new["params"], state.params),
+            loss_weights=keep(new["loss_weights"], state.loss_weights),
+            opt_state=keep(opt_state, state.opt_state),
         ),
         logs,
     )
