@@ -94,6 +94,7 @@ def build_system(
     fast_dewarp: bool = True,
     orient_sign: str = "notch",
     orient_head_ckpt: str = "",
+    refine_head_ckpt: str = "",
 ):
     """(FramePipeline with store attached, catalog). Populates the index by
     embedding every catalog card's crop (qdrant_populate.py:70-90 semantics)."""
@@ -126,6 +127,13 @@ def build_system(
         head_vars = _restore_tree(orient_head_ckpt)
         head_vars = {"params": head_vars["params"]}
 
+    rhead = rhead_vars = None
+    if refine_head_ckpt:
+        from mtgvision_tpu.models.refine_head import RefineHead
+
+        rhead = RefineHead()
+        rhead_vars = {"params": _restore_tree(refine_head_ckpt)["params"]}
+
     pipe = FramePipeline(
         det, det_vars, enc, enc_vars, store=store,
         max_det=max_det, score_thresh=score_thresh,
@@ -133,6 +141,7 @@ def build_system(
         both_orientations=both_orientations,
         fast_dewarp=fast_dewarp, orient_sign=orient_sign,
         orient_head=head, orient_head_vars=head_vars,
+        refine_head=rhead, refine_head_vars=rhead_vars,
     )
     return pipe, catalog
 
@@ -154,8 +163,9 @@ def main(argv=None):
     ap.add_argument("--json-out", default=None)
     # pipeline-option ablations (y/n)
     ap.add_argument("--orient-head", default="", help="OrientHead ckpt dir")
+    ap.add_argument("--refine-head", default="", help="RefineHead ckpt dir")
     ap.add_argument("--refine", default="n", choices=("y", "n"))
-    ap.add_argument("--refine-crop", default="y", choices=("y", "n"))
+    ap.add_argument("--refine-crop", default="n", choices=("y", "n"))
     ap.add_argument("--both-orientations", default="y", choices=("y", "n"))
     ap.add_argument("--fast-dewarp", default="y", choices=("y", "n"))
     ap.add_argument("--orient-sign", default="notch", choices=("notch", "extent"))
@@ -173,6 +183,7 @@ def main(argv=None):
         fast_dewarp=args.fast_dewarp == "y",
         orient_sign=args.orient_sign,
         orient_head_ckpt=args.orient_head,
+        refine_head_ckpt=args.refine_head,
     )
     gen = SceneGenerator(
         catalog, ProceduralBackgrounds(), num_cards_min=1,

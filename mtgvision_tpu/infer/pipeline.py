@@ -67,10 +67,20 @@ class FramePipeline:
         # artifacts_r2): quad err 11.28 → 11.6 px, e2e top-1 0.52 → 0.45 — the
         # subpixel line fits only help on clean masks, so serving defaults OFF
         refine: bool = False,
-        # full-resolution corner snap in dewarped-crop space + second dewarp
-        # (orient.refine_quad_from_crop): breaks the proto-grid (~12 px)
-        # corner floor at the cost of one extra dewarp pass
-        refine_crop: bool = True,
+        # image-gradient corner snap in dewarped-crop space + second dewarp
+        # (orient.refine_quad_from_crop). Measured on the e2e protocol
+        # (artifacts_r2/ablate_rc_{y,n}.json, 20 scenes, r2 ckpts): corner
+        # err 15.0 vs 13.9 px OFF, same top-1 — the true edge often falls
+        # outside its stable search window, so serving defaults OFF. The
+        # LEARNED refine_head below is the production corner fix.
+        refine_crop: bool = False,
+        # learned corner offsets + 180° flip from the crop
+        # (models/refine_head.py): back-projects the predicted quad through
+        # the crop→frame homography, re-dewarps, un-rotates — one tiny conv
+        # program replaces BOTH the proto-grid corner floor and the 2×
+        # dual-orientation encoder cost. Supersedes refine_crop/orient_head.
+        refine_head=None,
+        refine_head_vars=None,
         fast_dewarp: bool = True,
         dewarp_impl: str = "auto",  # "pallas" | "xla" | "auto"
         orient_sign: str = "notch",  # "notch" | "extent" (orient.py)
@@ -99,7 +109,14 @@ class FramePipeline:
         # layout directly. both_orientations remains the head-free fallback.
         self.orient_head = orient_head
         self.orient_head_vars = orient_head_vars
-        if orient_head is not None:
+        self.refine_head = refine_head
+        self.refine_head_vars = refine_head_vars
+        if refine_head is not None:
+            # the refine head's flip logit replaces both disambiguators
+            self.both_orientations = False
+            self.orient_head = None
+            self.refine_crop = False
+        elif orient_head is not None:
             self.both_orientations = False
         if dewarp_impl == "auto":
             # measured on v5e (64 crops / 8 frames): XLA bf16 two-pass 6.5 ms
@@ -189,7 +206,46 @@ class FramePipeline:
             crops = dewarp(corners)
         flat_crops = crops.reshape(b * self.max_det, *self.crop_hw, 3)
         head_flip = jnp.zeros((b, self.max_det), bool)
-        if self.orient_head is not None:
+        if self.refine_head is not None:
+            # learned quad correction (models/refine_head.py): predicted
+            # crop-space offsets → back-project through each detection's
+            # crop→frame homography → re-dewarp off the corrected corners
+            from mtgvision_tpu.models.refine_head import nominal_quad
+            from mtgvision_tpu.ops.warp import (
+                apply_transform_points,
+                perspective_from_quads,
+            )
+
+            offsets, flip_logit = self.refine_head.apply(
+                self.refine_head_vars, flat_crops
+            )
+            nom = nominal_quad(self.crop_hw)
+            quad_crop = nom[None] + offsets  # (B·D,4,2)
+            corners_flat = corners.reshape(b * self.max_det, 4, 2)
+            m = perspective_from_quads(
+                corners_flat, jnp.broadcast_to(nom, corners_flat.shape)
+            )  # frame→crop per detection
+            new_corners = apply_transform_points(jnp.linalg.inv(m), quad_crop)
+            fin = jnp.all(jnp.isfinite(new_corners), axis=(-2, -1)).reshape(
+                b, self.max_det
+            )
+            new_corners = new_corners.reshape(b, self.max_det, 4, 2)
+            corners = jnp.where(
+                (ok & fin)[..., None, None], new_corners, corners
+            )
+            crops = dewarp(corners)
+            flip = flip_logit.reshape(b, self.max_det) > 0.0
+            crops = jnp.where(
+                flip[..., None, None, None],
+                jnp.rot90(crops, 2, axes=(2, 3)),
+                crops,
+            )
+            corners = jnp.where(
+                flip[..., None, None], jnp.roll(corners, 2, axis=2), corners
+            )
+            head_flip = flip
+            flat_crops = crops.reshape(b * self.max_det, *self.crop_hw, 3)
+        elif self.orient_head is not None:
             # classify + un-rotate BEFORE the encoder: one tiny conv head
             # (~1% of an encoder pass) replaces the 2× dual-orientation cost
             logits = self.orient_head.apply(self.orient_head_vars, flat_crops)

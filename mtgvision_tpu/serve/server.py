@@ -224,6 +224,7 @@ def build_pipeline(
     enc_model: str = "cnvnxt2ae_nano",
     store=None,
     orient_head_ckpt: str | None = None,
+    refine_head_ckpt: str | None = None,
 ):
     """FramePipeline from checkpoints (trained serving) or random weights
     (smoke runs). Checkpoint dirs accept slim exports or train ckpt dirs
@@ -268,9 +269,20 @@ def build_pipeline(
 
         head = OrientHead()
         head_vars = {"params": _restore_tree(orient_head_ckpt)["params"]}
+    rhead = rhead_vars = None
+    if refine_head_ckpt:
+        # learned corner offsets + flip (models/refine_head.py) — the
+        # production path: supersedes the orient head AND the dual-
+        # orientation fallback, and lifts corners off the proto grid
+        from mtgvision_tpu.eval.system import _restore_tree
+        from mtgvision_tpu.models.refine_head import RefineHead
+
+        rhead = RefineHead()
+        rhead_vars = {"params": _restore_tree(refine_head_ckpt)["params"]}
     return FramePipeline(
         det, det_vars, enc, enc_vars, store=store,
         orient_head=head, orient_head_vars=head_vars,
+        refine_head=rhead, refine_head_vars=rhead_vars,
     )
 
 
@@ -294,6 +306,7 @@ def main(argv=None):
     ap.add_argument("--enc-model", default="cnvnxt2ae_nano")
     ap.add_argument("--index", default=None, help="VectorStore save_to_dir path")
     ap.add_argument("--orient-head", default=None, help="OrientHead ckpt dir")
+    ap.add_argument("--refine-head", default=None, help="RefineHead ckpt dir")
     args = ap.parse_args(argv)
 
     store = None
@@ -304,6 +317,7 @@ def main(argv=None):
     pipe = build_pipeline(
         args.det, args.enc, args.det_size, args.enc_model, store,
         orient_head_ckpt=args.orient_head,
+        refine_head_ckpt=args.refine_head,
     )
     app = make_app(lambda: TrackerCtx(pipe), pathlib.Path(args.static_dir))
     web.run_app(app, host=args.host, port=args.port)

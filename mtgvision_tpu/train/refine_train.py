@@ -1,0 +1,228 @@
+"""Refinement-head training: where is the card quad in this crop, and is it
+180°-rotated?
+
+Supervises models/refine_head.RefineHead on the same device-side synthetic
+stream the encoder trains on, but with a CONTROLLED composite: instead of
+make_virtual's free random pose (data/encoder_gen.py:157-178), each card is
+warped so its quad lands at ``nominal + noise`` in crop space — simulating a
+dewarp driven by imperfect detector corners (the serving-time input
+distribution: proto-grid mask corners are ~10 px off in crop units). The
+label IS the noise. Flip labels come from an explicit random 180° rotation,
+as in train/orient_train.py.
+
+Noise model: per-corner iid N(0,σ) with σ~U(0.5,9) px per sample (detector
+error varies wildly with card size/occlusion), plus a shared shift N(0,4)
+and the card flipped p=0.5. Everything — sample, composite, photometric,
+fwd/bwd, update — is one fused scan chunk; one PRNG key in per chunk.
+
+    python -m mtgvision_tpu.train.refine_train --max-steps 8000 \
+        --ckpt-dir artifacts_r2/refine_head
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pathlib
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from mtgvision_tpu.models.refine_head import RefineHead, nominal_quad
+
+
+@dataclasses.dataclass
+class RefineConfig:
+    seed: int = 42
+    batch_size: int = 128
+    max_steps: int = 8000
+    learning_rate: float = 3e-4  # 1e-3 blows the tanh-bounded regression up
+    weight_decay: float = 1e-4
+    gradient_clip_val: float = 1.0
+    n_cards: int = 4096
+    pool_size: int = 4096
+    bg_pool_size: int = 256
+    scan_steps: int = 10
+    ckpt_dir: str = "checkpoints_refine"
+    checkpoint: Optional[str] = None
+    ckpt_every: int = 1000
+    log_every: int = 100
+    size_hw: tuple[int, int] = (192, 128)
+    # noise model (crop px)
+    sigma_min: float = 0.5
+    sigma_max: float = 9.0
+    shift_sigma: float = 4.0
+    # loss
+    flip_weight: float = 1.0
+    huber_delta: float = 2.0
+
+
+class RefineTrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Any = struct.field(pytree_node=False)
+
+
+def make_refine_batch(key, card_pool_u8, bg_pool_u8, batch_size, size_hw,
+                      sigma_min=0.5, sigma_max=9.0, shift_sigma=4.0):
+    """Device-side batch: card warped to a KNOWN perturbed quad over a bg.
+
+    Returns (x (B,H,W,3) float, offsets (B,4,2) crop-px, flip (B,) float)."""
+    from mtgvision_tpu.data.encoder_gen import (
+        _FG_PHOTO, _VRTL_PHOTO, make_bg, make_masked,
+    )
+    from mtgvision_tpu.ops.augment import fused_photometric
+    from mtgvision_tpu.ops.gather import take_rows
+    from mtgvision_tpu.ops.image import img_float32, rgba_over_rgb
+    from mtgvision_tpu.ops.warp import perspective_from_quads, warp_perspective
+
+    kc, kb, kf, ks, kn, kt, kg = jax.random.split(key, 7)
+    p, q = card_pool_u8.shape[0], bg_pool_u8.shape[0]
+    ci = jax.random.randint(kc, (batch_size,), 0, p)
+    bi = jax.random.randint(kb, (batch_size,), 0, q)
+    cards = img_float32(take_rows(card_pool_u8, ci))
+    bgs = img_float32(take_rows(bg_pool_u8, bi))
+
+    flip = jax.random.bernoulli(kf, 0.5, (batch_size,))
+    cards = jnp.where(
+        flip[:, None, None, None], jnp.rot90(cards, 2, axes=(1, 2)), cards
+    )
+
+    sigma = jax.random.uniform(
+        ks, (batch_size, 1, 1), minval=sigma_min, maxval=sigma_max
+    )
+    offsets = (
+        jax.random.normal(kn, (batch_size, 4, 2)) * sigma
+        + jax.random.normal(kt, (batch_size, 1, 2)) * shift_sigma
+    )
+    nom = nominal_quad(size_hw)
+    quads = nom[None] + offsets
+
+    hc, wc = cards.shape[1:3]
+    src = jnp.asarray(
+        [[0.0, 0.0], [wc - 1.0, 0.0], [wc - 1.0, hc - 1.0], [0.0, hc - 1.0]],
+        jnp.float32,
+    )
+
+    def one(k, card, bg, quad):
+        kfp, kbg, kv = jax.random.split(k, 3)
+        fg = make_masked(card)  # RGBA, rounded card corners
+        m = perspective_from_quads(src, quad)
+        fgw = warp_perspective(fg, m, size_hw)
+        fgw = fused_photometric(kfp, fgw, **_FG_PHOTO)
+        canvas = rgba_over_rgb(fgw, make_bg(kbg, bg, size_hw))
+        return fused_photometric(kv, canvas, **_VRTL_PHOTO)
+
+    x = jax.vmap(one)(jax.random.split(kg, batch_size), cards, bgs, quads)
+    return x, offsets, flip.astype(jnp.float32)
+
+
+def loss_fn(params, x, offsets, flip, apply_fn, flip_weight=1.0, huber_delta=2.0):
+    pred_off, flip_logit = apply_fn({"params": params}, x)
+    l_off = optax.huber_loss(pred_off, offsets, delta=huber_delta).mean()
+    l_flip = optax.sigmoid_binary_cross_entropy(flip_logit, flip).mean()
+    loss = l_off + flip_weight * l_flip
+    err = jnp.linalg.norm(pred_off - offsets, axis=-1).mean()  # px/corner
+    acc = jnp.mean((flip_logit > 0) == (flip > 0.5))
+    return loss, {
+        "loss": loss, "loss_off": l_off, "loss_flip": l_flip,
+        "corner_err_px": err, "flip_acc": acc,
+    }
+
+
+def create_state(config: RefineConfig, rng) -> RefineTrainState:
+    model = RefineHead()
+    h, w = config.size_hw
+    params = jax.jit(model.init)(rng, jnp.zeros((1, h, w, 3), jnp.float32))["params"]
+    tx = optax.chain(
+        optax.clip_by_global_norm(config.gradient_clip_val),
+        optax.adamw(config.learning_rate, weight_decay=config.weight_decay),
+    )
+    return RefineTrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        tx=tx,
+        apply_fn=model.apply,
+    )
+
+
+def train_step(state: RefineTrainState, x, offsets, flip, config: RefineConfig):
+    (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params, x, offsets, flip, state.apply_fn,
+        config.flip_weight, config.huber_delta,
+    )
+    updates, opt_state = state.tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return state.replace(step=state.step + 1, params=params, opt_state=opt_state), logs
+
+
+def train(config: RefineConfig, catalog=None, backgrounds=None) -> RefineTrainState:
+    import numpy as _np
+
+    from mtgvision_tpu.data.catalog import ProceduralBackgrounds, ProceduralCatalog
+    from mtgvision_tpu.data.encoder_gen import DeviceBgPool, DeviceCardPool
+    from mtgvision_tpu.train.checkpoint import CheckpointManager
+    from mtgvision_tpu.train.logging_utils import MetricsLogger
+
+    if catalog is None:
+        catalog = ProceduralCatalog(n_cards=config.n_cards)
+    if backgrounds is None:
+        backgrounds = ProceduralBackgrounds()
+
+    rng_np = _np.random.default_rng(config.seed)
+    pool = DeviceCardPool(catalog, config.pool_size, rng_np)
+    bgp = DeviceBgPool(backgrounds, config.bg_pool_size, rng_np)
+
+    state = create_state(config, jax.random.PRNGKey(config.seed))
+    ckpt = CheckpointManager(config.ckpt_dir, keep_top_k=2)
+    logger = MetricsLogger(pathlib.Path(config.ckpt_dir) / "logs", "refine_head")
+
+    if config.checkpoint:
+        mgr = CheckpointManager(config.checkpoint)
+        if mgr.latest_step() is not None:
+            state = mgr.restore(target=state)
+
+    # pools ride as jit ARGUMENTS (HLO-literal closures break remote compiles)
+    def run(state, key, card_images, bg_images):
+        def body(state, k):
+            x, offsets, flip = make_refine_batch(
+                k, card_images, bg_images, config.batch_size, config.size_hw,
+                config.sigma_min, config.sigma_max, config.shift_sigma,
+            )
+            return train_step(state, x, offsets, flip, config)
+
+        keys = jax.random.split(key, config.scan_steps)
+        state, logs = jax.lax.scan(body, state, keys, unroll=True)
+        return state, jax.tree.map(lambda v: v.mean(0), logs)
+
+    jitted = jax.jit(run, donate_argnums=0)
+    key = jax.random.fold_in(jax.random.PRNGKey(config.seed), 4)
+    i = int(jax.device_get(state.step))
+    while i < config.max_steps:
+        state, logs = jitted(state, jax.random.fold_in(key, i), pool.images, bgp.images)
+        prev, i = i, i + config.scan_steps
+        if i // config.log_every > prev // config.log_every:
+            logger.log(i, jax.device_get(logs))
+        if i // config.ckpt_every > prev // config.ckpt_every or i >= config.max_steps:
+            ckpt.save(
+                i, state, config=dataclasses.asdict(config),
+                score=float(jax.device_get(logs["loss"])),
+            )
+    logger.close()
+    return state
+
+
+def _cli(argv=None):
+    from mtgvision_tpu.train.config_cli import parse_config
+
+    config = parse_config(RefineConfig, argv)
+    train(config)
+
+
+if __name__ == "__main__":
+    _cli()
