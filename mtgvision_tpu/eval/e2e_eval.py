@@ -35,6 +35,15 @@ class E2EStats:
     # call (notch disambiguation miss) — the main id-match killer
     n_flipped: int = 0
     oriented_err_sum: float = 0.0  # corner error using the better of 0°/180°
+    # size-stratified identification: cards below ~4k px² (≈ 75×55 px at
+    # 640²) are DETECTABLE but carry too few pixels to identify a printing —
+    # the reference's placement convention (od_datasets.py:330-336,
+    # scale = area/(ch·cw) applied linearly) composites cards down to
+    # ~700 px², so overall top-1 is bounded by scene stats, not model quality
+    n_gt_idable: int = 0
+    n_detected_idable: int = 0
+    n_top1_idable: int = 0
+    n_top5_idable: int = 0
 
     @property
     def recall(self) -> float:
@@ -60,12 +69,22 @@ class E2EStats:
     def mean_oriented_err(self) -> float:
         return self.oriented_err_sum / max(self.n_detected, 1)
 
+    @property
+    def top1_idable(self) -> float:
+        return self.n_top1_idable / max(self.n_detected_idable, 1)
+
+    @property
+    def top5_idable(self) -> float:
+        return self.n_top5_idable / max(self.n_detected_idable, 1)
+
     def __str__(self):
         return (
             f"recall={self.recall:.3f} top1={self.top1:.3f} top5={self.top5:.3f} "
             f"corner_err={self.mean_corner_err:.1f}px "
             f"(quad_err={self.mean_oriented_err:.1f}px flip_rate={self.flip_rate:.2f}) "
-            f"(gt={self.n_gt}, det={self.n_detected})"
+            f"(gt={self.n_gt}, det={self.n_detected}) "
+            f"[idable: top1={self.top1_idable:.3f} top5={self.top5_idable:.3f} "
+            f"n={self.n_detected_idable}/{self.n_gt_idable}]"
         )
 
 
@@ -74,11 +93,20 @@ def evaluate_e2e(
     gen: SceneGenerator,
     n_scenes: int = 50,
     match_dist: float = 64.0,
+    details: list | None = None,
+    idable_area_px: float = 4096.0,
 ) -> E2EStats:
     """Run the pipeline over generated scenes and score against the known
     placements. A GT card counts as detected when a valid detection's corner
-    centroid lies within ``match_dist`` px of the GT quad centroid."""
+    centroid lies within ``match_dist`` px of the GT quad centroid.
+
+    ``details``: pass a list to receive one dict per detected GT card with
+    the failure-analysis fields (match rank, corner error, flip, card size,
+    occluded fraction) — top-5≈top-1 in the aggregate says failures are
+    catastrophic, and this is how we find out WHICH detections fail."""
     import jax.numpy as jnp
+
+    from mtgvision_tpu.ops.polygon import poly_area, poly_intersection_area
 
     stats = E2EStats()
     card_hw = gen.catalog.card_hw
@@ -91,11 +119,17 @@ def evaluate_e2e(
         corners = np.asarray(out["corners"][0])
         match_idx = out["match_idx"]
 
+        # earlier-placed cards paint ON TOP (reverse-order painting,
+        # scene_gen.compose_scene): card i is occluded by quads j < i
+        quads = [apply_m(card_bbox(card_hw), m) for _, m in gt]
         det_centroids = corners.mean(1)  # (D, 2)
         used = set()
-        for card, m in gt:
+        for gi, (card, m) in enumerate(gt):
             stats.n_gt += 1
-            quad = apply_m(card_bbox(card_hw), m)
+            quad = quads[gi]
+            idable = poly_area(quad) >= idable_area_px
+            if idable:
+                stats.n_gt_idable += 1
             c = quad.mean(0)
             best, best_d = None, match_dist
             for d in np.where(valid)[0]:
@@ -105,9 +139,21 @@ def evaluate_e2e(
                 if dist < best_d:
                     best, best_d = d, dist
             if best is None:
+                if details is not None:
+                    area = poly_area(quad)
+                    occ = sum(
+                        poly_intersection_area(quad, quads[j]) for j in range(gi)
+                    )
+                    details.append({
+                        "detected": False, "rank": -1, "card_id": card.id,
+                        "area_px": float(area),
+                        "occluded_frac": float(min(occ / max(area, 1e-6), 1.0)),
+                    })
                 continue
             used.add(best)
             stats.n_detected += 1
+            if idable:
+                stats.n_detected_idable += 1
             err = float(np.linalg.norm(corners[best] - quad, axis=1).mean())
             err_flip = float(
                 np.linalg.norm(np.roll(corners[best], 2, axis=0) - quad, axis=1).mean()
@@ -116,16 +162,38 @@ def evaluate_e2e(
             stats.oriented_err_sum += min(err, err_flip)
             if err_flip < err:
                 stats.n_flipped += 1
+            rank = -1
             if match_idx is not None and pipeline.store is not None:
                 ids = []
                 for k in range(match_idx.shape[-1]):
                     ridx = int(np.asarray(match_idx[0, best, k]))
                     if ridx < len(pipeline.store):
                         ids.append(pipeline.store._ids[ridx])
+                if card.id in ids:
+                    rank = ids.index(card.id)
                 if ids[:1] == [card.id]:
                     stats.n_top1 += 1
+                    if idable:
+                        stats.n_top1_idable += 1
                 if card.id in ids[:5]:
                     stats.n_top5 += 1
+                    if idable:
+                        stats.n_top5_idable += 1
+            if details is not None:
+                area = poly_area(quad)
+                occ = sum(
+                    poly_intersection_area(quad, quads[j]) for j in range(gi)
+                )
+                scores = out.get("match_scores")
+                details.append({
+                    "detected": True, "rank": rank, "card_id": card.id,
+                    "corner_err": err, "quad_err": min(err, err_flip),
+                    "flipped": bool(err_flip < err),
+                    "area_px": float(area),
+                    "occluded_frac": float(min(occ / max(area, 1e-6), 1.0)),
+                    "score0": float(np.asarray(scores[0, best, 0]))
+                    if scores is not None else None,
+                })
     return stats
 
 
@@ -147,7 +215,12 @@ def _scene_with_gt(gen: SceneGenerator):
 
     ms, polys, cards = [], [], []
     for _ in range(n_cards):
-        m = place_card(gen.rng, card_hw, bg_hw, polys)
+        m = place_card(
+            gen.rng, card_hw, bg_hw, polys,
+            min_area_ratio=gen.card_min_area_ratio,
+            max_area_ratio=gen.card_max_area_ratio,
+            jitter_ratio=gen.card_jitter_ratio,
+        )
         if m is None:
             continue
         card = gen.catalog.ran_card(gen.rng)

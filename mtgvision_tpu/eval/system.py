@@ -161,6 +161,8 @@ def main(argv=None):
     ap.add_argument("--score-thresh", type=float, default=0.25)
     ap.add_argument("--max-cards", type=int, default=4)
     ap.add_argument("--json-out", default=None)
+    ap.add_argument("--details-out", default=None,
+                    help="write per-GT-card diagnostic records (JSONL)")
     # pipeline-option ablations (y/n)
     ap.add_argument("--orient-head", default="", help="OrientHead ckpt dir")
     ap.add_argument("--refine-head", default="", help="RefineHead ckpt dir")
@@ -170,6 +172,12 @@ def main(argv=None):
     ap.add_argument("--fast-dewarp", default="y", choices=("y", "n"))
     ap.add_argument("--orient-sign", default="notch", choices=("notch", "extent"))
     ap.add_argument("--seed", type=int, default=0, help="scene-stream seed")
+    ap.add_argument(
+        "--min-area-ratio", type=float, default=0.02,
+        help="scene card size floor (place_card min_area_ratio; the "
+        "reference convention maps 0.02 to cards as small as ~700 px² — "
+        "raise for a serving-like 'card held to webcam' distribution)",
+    )
     args = ap.parse_args(argv)
 
     catalog = ProceduralCatalog(n_cards=args.n_cards)
@@ -188,18 +196,27 @@ def main(argv=None):
     gen = SceneGenerator(
         catalog, ProceduralBackgrounds(), num_cards_min=1,
         num_cards_max=args.max_cards, seed=args.seed,
+        card_min_area_ratio=args.min_area_ratio,
     )
-    stats = evaluate_e2e(pipe, gen, n_scenes=args.n_scenes)
+    details: list | None = [] if args.details_out else None
+    stats = evaluate_e2e(pipe, gen, n_scenes=args.n_scenes, details=details)
     print(stats)
     rec = {
         "recall": stats.recall, "top1": stats.top1, "top5": stats.top5,
         "corner_err_px": stats.mean_corner_err,
         "quad_err_px": stats.mean_oriented_err, "flip_rate": stats.flip_rate,
         "n_gt": stats.n_gt, "n_detected": stats.n_detected,
+        "top1_idable": stats.top1_idable, "top5_idable": stats.top5_idable,
+        "n_gt_idable": stats.n_gt_idable,
+        "n_detected_idable": stats.n_detected_idable,
     }
     print(json.dumps(rec))
     if args.json_out:
         pathlib.Path(args.json_out).write_text(json.dumps(rec))
+    if args.details_out:
+        with open(args.details_out, "w") as f:
+            for d in details:
+                f.write(json.dumps(d) + "\n")
     return stats
 
 
