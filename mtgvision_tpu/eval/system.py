@@ -95,6 +95,7 @@ def build_system(
     orient_sign: str = "notch",
     orient_head_ckpt: str = "",
     refine_head_ckpt: str = "",
+    refine_redewarp: bool = False,
 ):
     """(FramePipeline with store attached, catalog). Populates the index by
     embedding every catalog card's crop (qdrant_populate.py:70-90 semantics)."""
@@ -142,6 +143,7 @@ def build_system(
         fast_dewarp=fast_dewarp, orient_sign=orient_sign,
         orient_head=head, orient_head_vars=head_vars,
         refine_head=rhead, refine_head_vars=rhead_vars,
+        refine_redewarp=refine_redewarp,
     )
     return pipe, catalog
 
@@ -166,6 +168,8 @@ def main(argv=None):
     # pipeline-option ablations (y/n)
     ap.add_argument("--orient-head", default="", help="OrientHead ckpt dir")
     ap.add_argument("--refine-head", default="", help="RefineHead ckpt dir")
+    ap.add_argument("--refine-redewarp", default="n", choices=("y", "n"),
+                    help="re-dewarp off refined corners before embedding")
     ap.add_argument("--refine", default="n", choices=("y", "n"))
     ap.add_argument("--refine-crop", default="n", choices=("y", "n"))
     ap.add_argument("--both-orientations", default="y", choices=("y", "n"))
@@ -192,6 +196,7 @@ def main(argv=None):
         orient_sign=args.orient_sign,
         orient_head_ckpt=args.orient_head,
         refine_head_ckpt=args.refine_head,
+        refine_redewarp=args.refine_redewarp == "y",
     )
     gen = SceneGenerator(
         catalog, ProceduralBackgrounds(), num_cards_min=1,

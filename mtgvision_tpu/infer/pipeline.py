@@ -81,6 +81,7 @@ class FramePipeline:
         # dual-orientation encoder cost. Supersedes refine_crop/orient_head.
         refine_head=None,
         refine_head_vars=None,
+        refine_redewarp: bool = False,
         fast_dewarp: bool = True,
         dewarp_impl: str = "auto",  # "pallas" | "xla" | "auto"
         orient_sign: str = "notch",  # "notch" | "extent" (orient.py)
@@ -111,6 +112,7 @@ class FramePipeline:
         self.orient_head_vars = orient_head_vars
         self.refine_head = refine_head
         self.refine_head_vars = refine_head_vars
+        self.refine_redewarp = refine_redewarp
         if refine_head is not None:
             # the refine head's flip logit replaces both disambiguators
             self.both_orientations = False
@@ -233,7 +235,16 @@ class FramePipeline:
             corners = jnp.where(
                 (ok & fin)[..., None, None], new_corners, corners
             )
-            crops = dewarp(corners)
+            if self.refine_redewarp:
+                # re-dewarp off the corrected corners so the encoder sees a
+                # perfectly registered crop. Measured: +6.7 ms / 64 crops
+                # (the dewarp's hat-weight HBM traffic) for NO top-1 gain —
+                # identifiable-card top-1 is already 1.0 off the first crop
+                # (artifacts_r2/e2e_refinehead.json) — so serving defaults
+                # OFF: the corrected corners still flow to the output (the
+                # 5.6 px median vs 9.4 px unrefined), only the embedding
+                # reuses the stage-1 crop.
+                crops = dewarp(corners)
             flip = flip_logit.reshape(b, self.max_det) > 0.0
             crops = jnp.where(
                 flip[..., None, None, None],
@@ -400,7 +411,19 @@ def build_e2e_pipeline(
     )
     enc_vars = {"params": jax.jit(enc.init)(rng, jnp.zeros((1, 192, 128, 3)))["params"]}
 
-    pipe = FramePipeline(det, det_vars, enc, enc_vars, store=None, max_det=max_det)
+    # production serving config: the learned refine head replaces the 2×
+    # dual-orientation encoder pass (flip logit) and lifts corners off the
+    # proto grid (back-projected offsets); random weights cost the same
+    # compute as trained ones, so the benchmark measures the served program
+    from mtgvision_tpu.models.refine_head import RefineHead
+
+    rhead = RefineHead()
+    rhead_vars = jax.jit(rhead.init)(rng, jnp.zeros((1, 192, 128, 3)))
+
+    pipe = FramePipeline(
+        det, det_vars, enc, enc_vars, store=None, max_det=max_det,
+        refine_head=rhead, refine_head_vars=rhead_vars,
+    )
     db = jax.random.normal(jax.random.PRNGKey(1), (n_index, 768), jnp.float32)
     db = db / jnp.linalg.norm(db, axis=1, keepdims=True)
 
