@@ -160,11 +160,22 @@ def make_virtual(
     bg_img: jnp.ndarray,
     size_hw: tuple[int, int],
     half_upsidedown: bool = False,
+    occ_img: jnp.ndarray | None = None,
+    p_occlude: float = 0.0,
 ) -> jnp.ndarray:
     """Mask card → ONE composed warp into canvas → FG photometric → composite
     over warped+photometric BG → virtual photometric
-    (encoder_datasets.py:786-814 semantics, single-resample design)."""
-    kud, kg, kfp, kbg, kv = jax.random.split(key, 5)
+    (encoder_datasets.py:786-814 semantics, single-resample design).
+
+    ``occ_img``/``p_occlude``: with probability ``p_occlude`` another card is
+    composited OVER the target, shifted to cover one side (~5-45% of the
+    card, matching the scene generator's ``min_visible=0.5`` overlap regime,
+    od_datasets.py:354-371). The reference's encoder never sees occlusion —
+    and the measured e2e failure mode says so: detections >15% occluded score
+    0.12 top-1 vs 0.81 clear (artifacts_r2/e2e_headline_details.jsonl). The
+    target y stays the clean crop, so the encoder learns to embed the card
+    UNDER the occluder."""
+    kud, kg, kfp, kbg, kv, ko = jax.random.split(key, 6)
     if half_upsidedown:
         card_img = jnp.where(
             jax.random.bernoulli(kud), jnp.rot90(card_img, 2, (0, 1)), card_img
@@ -175,6 +186,28 @@ def make_virtual(
     fg = A.fused_photometric(kfp, fg, **_FG_PHOTO)
     bg = make_bg(kbg, bg_img, size_hw)
     virt = I.rgba_over_rgb(fg, bg)
+    if occ_img is not None and p_occlude > 0.0:
+        kth, ksh, ku, kfp2, kgate = jax.random.split(ko, 5)
+        h, w = occ_img.shape[:2]
+        # occluder pose: the target's own canvas pose composed with (a) a
+        # free spin about the occluder's centre and (b) a shift along a
+        # random direction big enough to leave 55-95% of the target visible
+        theta = jax.random.uniform(kth, (), minval=0.0, maxval=2.0 * jnp.pi)
+        ang = jax.random.uniform(ksh, (), minval=0.0, maxval=2.0 * jnp.pi)
+        u = jax.random.uniform(ku, (), minval=0.55, maxval=0.95)
+        dx = jnp.cos(ang) * w * u
+        dy = jnp.sin(ang) * h * u
+        spin = W.compose(
+            W.translation_matrix_2d(w / 2.0, h / 2.0),
+            W.rotation_matrix_2d(theta),
+            W.translation_matrix_2d(-w / 2.0, -h / 2.0),
+        )
+        mo = W.compose(m, W.translation_matrix_2d(dx, dy), spin)
+        occ = W.warp_perspective(make_masked(occ_img), mo, size_hw)
+        occ = A.fused_photometric(kfp2, occ, **_FG_PHOTO)
+        gate = jax.random.bernoulli(kgate, p_occlude)
+        a = occ[..., 3:4] * gate
+        virt = virt * (1.0 - a) + occ[..., :3] * a
     return A.fused_photometric(kv, virt, **_VRTL_PHOTO)
 
 
@@ -198,7 +231,8 @@ def make_virtual_pair(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("x_size_hw", "y_size_hw", "half_upsidedown")
+    jax.jit,
+    static_argnames=("x_size_hw", "y_size_hw", "half_upsidedown", "p_occlude"),
 )
 def make_pair_batch(
     key,
@@ -210,6 +244,8 @@ def make_pair_batch(
     x_size_hw: tuple[int, int] = (192, 128),
     y_size_hw: tuple[int, int] = (192, 128),
     half_upsidedown: bool = False,
+    occ_imgs: jnp.ndarray | None = None,  # (B, Hc, Wc, 3) occluder cards
+    p_occlude: float = 0.0,
 ):
     """One fused device program: y, x, x2 for the whole batch."""
     b = card_imgs.shape[0]
@@ -217,10 +253,18 @@ def make_pair_batch(
     keys1 = jax.random.split(k1, b)
     keys2 = jax.random.split(k2, b)
 
-    def one_x(k, card, bg):
-        return make_virtual(k, card, bg, x_size_hw, half_upsidedown)
+    if occ_imgs is not None and p_occlude > 0.0:
+        def one_x(k, card, bg, occ):
+            return make_virtual(
+                k, card, bg, x_size_hw, half_upsidedown, occ, p_occlude
+            )
 
-    x_virWar = jax.vmap(one_x)(keys1, card_imgs, bg0)
+        x_virWar = jax.vmap(one_x)(keys1, card_imgs, bg0, occ_imgs)
+    else:
+        def one_x(k, card, bg):
+            return make_virtual(k, card, bg, x_size_hw, half_upsidedown)
+
+        x_virWar = jax.vmap(one_x)(keys1, card_imgs, bg0)
     y = jax.vmap(lambda c: make_cropped(c, y_size_hw))(card_imgs)
     x_clean = (
         y
@@ -228,7 +272,12 @@ def make_pair_batch(
         else jax.vmap(lambda c: make_cropped(c, x_size_hw))(card_imgs)
     )
     x = jnp.where(target_is_input_mask[:, None, None, None], x_clean, x_virWar)
-    x2 = jax.vmap(one_x)(keys2, pair_imgs, bg1)
+    if occ_imgs is not None and p_occlude > 0.0:
+        # second view gets its own occluder pairing (reversed batch) so the
+        # two positives never share an occluder
+        x2 = jax.vmap(one_x)(keys2, pair_imgs, bg1, occ_imgs[::-1])
+    else:
+        x2 = jax.vmap(one_x)(keys2, pair_imgs, bg1)
     return {"y": y, "x": x, "x2": x2}
 
 
@@ -250,7 +299,8 @@ def make_virtual_batch(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("x_size_hw", "y_size_hw", "half_upsidedown")
+    jax.jit,
+    static_argnames=("x_size_hw", "y_size_hw", "half_upsidedown", "p_occlude"),
 )
 def make_pair_batch_pooled(
     key,
@@ -264,6 +314,8 @@ def make_pair_batch_pooled(
     x_size_hw: tuple[int, int] = (192, 128),
     y_size_hw: tuple[int, int] = (192, 128),
     half_upsidedown: bool = False,
+    occ_idx: jnp.ndarray | None = None,  # (B,) int32 occluder slots
+    p_occlude: float = 0.0,
 ):
     """Pool-gather variant of :func:`make_pair_batch` — the production path.
 
@@ -287,6 +339,10 @@ def make_pair_batch_pooled(
         x_size_hw=x_size_hw,
         y_size_hw=y_size_hw,
         half_upsidedown=half_upsidedown,
+        occ_imgs=(
+            to_f32(take_rows(card_pool_u8, occ_idx)) if occ_idx is not None else None
+        ),
+        p_occlude=p_occlude,
     )
 
 
@@ -294,7 +350,7 @@ def make_pair_batch_pooled(
     jax.jit,
     static_argnames=(
         "batch_size", "x_size_hw", "y_size_hw", "half_upsidedown",
-        "similar_neg_prob", "target_is_input_prob",
+        "similar_neg_prob", "target_is_input_prob", "p_occlude",
     ),
 )
 def make_pair_batch_sampled(
@@ -309,13 +365,14 @@ def make_pair_batch_sampled(
     x_size_hw: tuple[int, int] = (192, 128),
     y_size_hw: tuple[int, int] = (192, 128),
     half_upsidedown: bool = False,
+    p_occlude: float = 0.0,
 ):
     """Fully device-side batch sampling + generation: ONE scalar key in,
     whole training batch out. Eliminates all per-step host→device index
     traffic (critical when dispatch latency is high — e.g. tunneled TPUs;
     on-device randint/bernoulli replace the host RNG draws of
     encoder_train.py:189-230)."""
-    kc, ks, kb0, kb1, kt, kgen = jax.random.split(key, 6)
+    kc, ks, kb0, kb1, kt, kgen, kocc = jax.random.split(key, 7)
     p = card_pool_u8.shape[0]
     q = bg_pool_u8.shape[0]
     card_idx = jax.random.randint(kc, (batch_size,), 0, p)
@@ -324,9 +381,13 @@ def make_pair_batch_sampled(
     bg0 = jax.random.randint(kb0, (batch_size,), 0, q)
     bg1 = jax.random.randint(kb1, (batch_size,), 0, q)
     t_mask = jax.random.bernoulli(kt, target_is_input_prob, (batch_size,))
+    occ_idx = (
+        jax.random.randint(kocc, (batch_size,), 0, p) if p_occlude > 0.0 else None
+    )
     out = make_pair_batch_pooled(
         kgen, card_pool_u8, bg_pool_u8, card_idx, pair_idx, bg0, bg1, t_mask,
         x_size_hw=x_size_hw, y_size_hw=y_size_hw, half_upsidedown=half_upsidedown,
+        occ_idx=occ_idx, p_occlude=p_occlude,
     )
     out["x_labels"] = slot_labels[card_idx]
     out["x2_labels"] = slot_labels[pair_idx]

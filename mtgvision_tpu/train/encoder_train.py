@@ -46,6 +46,10 @@ class EncoderConfig:
     predownload: bool = False
     similar_neg_prob: float = 0.2
     target_is_input_prob: float = 0.05
+    # probability an x view is overlapped by another card (scene-overlap
+    # robustness; no reference counterpart — its encoder never sees
+    # occlusion and occluded detections measured 0.12 top-1 e2e)
+    p_occlude: float = 0.25
     # model
     model_name: str = "cnvnxt2ae_nano"
     head_type: str = "conv+linear"
@@ -408,6 +412,7 @@ def make_train_scan(config: EncoderConfig, dataset, mesh: Mesh | None = None):
                 x_size_hw=dataset.x_size_hw,
                 y_size_hw=dataset.y_size_hw,
                 half_upsidedown=dataset.half_upsidedown,
+                p_occlude=config.p_occlude,
             )
             batch = {"x": out["x"], "x_labels": out["x_labels"]}
             if dataset.targets:

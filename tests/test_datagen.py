@@ -114,3 +114,42 @@ def test_image_batch_by_ids(catalog, bgs):
     b = ds.image_batch_by_ids(["proc-000001", "proc-000002"])
     assert b["x"].shape[0] == 2
     assert list(b["x_labels"][:, 0]) == [1, 2]
+
+
+def test_make_virtual_occluder(catalog, bgs, key):
+    """p_occlude=1 composites the occluder card over the target: the virtual
+    image must differ from the unoccluded one with the same key, and the
+    occluder must not repaint the whole canvas."""
+    card = jnp.asarray(catalog.get_image(catalog.card_by_index(1)))
+    occ = jnp.asarray(catalog.get_image(catalog.card_by_index(2)))
+    bg = jnp.asarray(bgs.ran_image(np.random.default_rng(0)))
+    base = make_virtual(key, card, bg, (96, 64), occ_img=occ, p_occlude=0.0)
+    v = make_virtual(key, card, bg, (96, 64), occ_img=occ, p_occlude=1.0)
+    assert v.shape == (96, 64, 3)
+    assert np.isfinite(np.asarray(v)).all()
+    diff = np.abs(np.asarray(v) - np.asarray(base)).mean(-1) > 0.05
+    frac = diff.mean()
+    assert 0.02 < frac < 0.95, f"occluder changed {frac:.2%} of the canvas"
+
+
+def test_sampled_batch_occlusion_gate():
+    """p_occlude=0 and p_occlude>0 both run through the fully device-side
+    sampler (the production path), shapes intact."""
+    from mtgvision_tpu.data.encoder_gen import (
+        DeviceBgPool,
+        DeviceCardPool,
+        make_pair_batch_sampled,
+    )
+
+    cat = ProceduralCatalog(n_cards=16, n_names=8, n_sets=2, card_hw=CARD_HW)
+    rng = np.random.default_rng(0)
+    pool = DeviceCardPool(cat, 16, rng)
+    bgp = DeviceBgPool(ProceduralBackgrounds(bg_hw=(128, 128)), 4, rng)
+    for p in (0.0, 0.5):
+        out = make_pair_batch_sampled(
+            jax.random.PRNGKey(3), pool.images, bgp.images,
+            pool.slot_labels_dev, pool.similar_table,
+            batch_size=4, x_size_hw=(96, 64), y_size_hw=(96, 64), p_occlude=p,
+        )
+        assert out["x"].shape == (4, 96, 64, 3)
+        assert np.isfinite(np.asarray(out["x"])).all()
