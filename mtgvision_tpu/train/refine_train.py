@@ -54,6 +54,8 @@ class RefineConfig:
     sigma_min: float = 0.5
     sigma_max: float = 9.0
     shift_sigma: float = 4.0
+    # probability the crop contains a partially-covering neighbour card
+    p_occlude: float = 0.3
     # loss
     flip_weight: float = 1.0
     huber_delta: float = 2.0
@@ -68,10 +70,18 @@ class RefineTrainState(struct.PyTreeNode):
 
 
 def make_refine_batch(key, card_pool_u8, bg_pool_u8, batch_size, size_hw,
-                      sigma_min=0.5, sigma_max=9.0, shift_sigma=4.0):
+                      sigma_min=0.5, sigma_max=9.0, shift_sigma=4.0,
+                      p_occlude=0.0):
     """Device-side batch: card warped to a KNOWN perturbed quad over a bg.
 
-    Returns (x (B,H,W,3) float, offsets (B,4,2) crop-px, flip (B,) float)."""
+    Returns (x (B,H,W,3) float, offsets (B,4,2) crop-px, flip (B,) float).
+
+    ``p_occlude``: probability another card partially covers the target
+    (shifted to leave 55-95% visible, like data/encoder_gen.make_virtual) —
+    serving crops contain neighbouring-card pixels whenever scene cards
+    overlap, and the head must keep localizing the TARGET's quad and
+    orientation under them. Corner/flip labels are unchanged (the card is
+    where it is, just partially hidden)."""
     from mtgvision_tpu.data.encoder_gen import (
         _FG_PHOTO, _VRTL_PHOTO, make_bg, make_masked,
     )
@@ -80,12 +90,16 @@ def make_refine_batch(key, card_pool_u8, bg_pool_u8, batch_size, size_hw,
     from mtgvision_tpu.ops.image import img_float32, rgba_over_rgb
     from mtgvision_tpu.ops.warp import perspective_from_quads, warp_perspective
 
-    kc, kb, kf, ks, kn, kt, kg = jax.random.split(key, 7)
+    kc, kb, kf, ks, kn, kt, kg, ko = jax.random.split(key, 8)
     p, q = card_pool_u8.shape[0], bg_pool_u8.shape[0]
     ci = jax.random.randint(kc, (batch_size,), 0, p)
     bi = jax.random.randint(kb, (batch_size,), 0, q)
     cards = img_float32(take_rows(card_pool_u8, ci))
     bgs = img_float32(take_rows(bg_pool_u8, bi))
+    occs = None
+    if p_occlude > 0.0:
+        oi = jax.random.randint(ko, (batch_size,), 0, p)
+        occs = img_float32(take_rows(card_pool_u8, oi))
 
     flip = jax.random.bernoulli(kf, 0.5, (batch_size,))
     cards = jnp.where(
@@ -107,17 +121,39 @@ def make_refine_batch(key, card_pool_u8, bg_pool_u8, batch_size, size_hw,
         [[0.0, 0.0], [wc - 1.0, 0.0], [wc - 1.0, hc - 1.0], [0.0, hc - 1.0]],
         jnp.float32,
     )
+    oh, ow = size_hw
 
-    def one(k, card, bg, quad):
-        kfp, kbg, kv = jax.random.split(k, 3)
+    def one(k, card, bg, quad, occ):
+        kfp, kbg, kv, kang, ku, kth, kop, kgt = jax.random.split(k, 8)
         fg = make_masked(card)  # RGBA, rounded card corners
         m = perspective_from_quads(src, quad)
         fgw = warp_perspective(fg, m, size_hw)
         fgw = fused_photometric(kfp, fgw, **_FG_PHOTO)
         canvas = rgba_over_rgb(fgw, make_bg(kbg, bg, size_hw))
+        if occ is not None:
+            # occluder: another card, target-sized pose, shifted off-centre
+            ang = jax.random.uniform(kang, (), maxval=2.0 * jnp.pi)
+            u = jax.random.uniform(ku, (), minval=0.55, maxval=0.95)
+            theta = jax.random.uniform(kth, (), maxval=2.0 * jnp.pi)
+            c, s = jnp.cos(theta), jnp.sin(theta)
+            ctr = jnp.asarray([ow / 2.0, oh / 2.0])
+            rot = jnp.asarray([[c, s], [-s, c]])
+            oq = (nom - ctr) @ rot.T + ctr
+            oq = oq + jnp.asarray([jnp.cos(ang) * ow, jnp.sin(ang) * oh]) * u
+            mo = perspective_from_quads(src, oq)
+            ow_img = warp_perspective(make_masked(occ), mo, size_hw)
+            ow_img = fused_photometric(kop, ow_img, **_FG_PHOTO)
+            a = ow_img[..., 3:4] * jax.random.bernoulli(kgt, p_occlude)
+            canvas = canvas * (1.0 - a) + ow_img[..., :3] * a
         return fused_photometric(kv, canvas, **_VRTL_PHOTO)
 
-    x = jax.vmap(one)(jax.random.split(kg, batch_size), cards, bgs, quads)
+    keys = jax.random.split(kg, batch_size)
+    if occs is not None:
+        x = jax.vmap(one)(keys, cards, bgs, quads, occs)
+    else:
+        x = jax.vmap(lambda k, c, b, q: one(k, c, b, q, None))(
+            keys, cards, bgs, quads
+        )
     return x, offsets, flip.astype(jnp.float32)
 
 
@@ -193,6 +229,7 @@ def train(config: RefineConfig, catalog=None, backgrounds=None) -> RefineTrainSt
             x, offsets, flip = make_refine_batch(
                 k, card_images, bg_images, config.batch_size, config.size_hw,
                 config.sigma_min, config.sigma_max, config.shift_sigma,
+                config.p_occlude,
             )
             return train_step(state, x, offsets, flip, config)
 

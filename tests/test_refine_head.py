@@ -147,3 +147,29 @@ def test_pipeline_with_refine_head():
     assert out["z"].shape == (2, 4, 96)
     assert np.isfinite(np.asarray(out["corners"])).all()
     assert np.isfinite(np.asarray(out["z"])).all()
+
+
+def test_make_refine_batch_occluded():
+    """p_occlude>0 keeps shapes/labels and composites extra card pixels."""
+    import numpy as np
+
+    from mtgvision_tpu.data.catalog import ProceduralBackgrounds, ProceduralCatalog
+    from mtgvision_tpu.data.encoder_gen import DeviceBgPool, DeviceCardPool
+    from mtgvision_tpu.train.refine_train import make_refine_batch
+
+    rng = np.random.default_rng(0)
+    pool = DeviceCardPool(ProceduralCatalog(n_cards=8, card_hw=(112, 80)), 8, rng)
+    bgp = DeviceBgPool(ProceduralBackgrounds(bg_hw=(128, 128)), 4, rng)
+    k = jax.random.PRNGKey(7)
+    x0, off0, fl0 = make_refine_batch(
+        k, pool.images, bgp.images, 4, (96, 64), p_occlude=0.0
+    )
+    x1, off1, fl1 = make_refine_batch(
+        k, pool.images, bgp.images, 4, (96, 64), p_occlude=1.0
+    )
+    assert x1.shape == (4, 96, 64, 3)
+    assert np.isfinite(np.asarray(x1)).all()
+    # same key -> same labels either way; only pixels change
+    assert np.allclose(np.asarray(off0), np.asarray(off1))
+    assert np.allclose(np.asarray(fl0), np.asarray(fl1))
+    assert not np.allclose(np.asarray(x0), np.asarray(x1))
