@@ -96,6 +96,7 @@ def build_system(
     orient_head_ckpt: str = "",
     refine_head_ckpt: str = "",
     refine_redewarp: bool = False,
+    refine_iters: int = 1,
 ):
     """(FramePipeline with store attached, catalog). Populates the index by
     embedding every catalog card's crop (qdrant_populate.py:70-90 semantics)."""
@@ -144,6 +145,7 @@ def build_system(
         orient_head=head, orient_head_vars=head_vars,
         refine_head=rhead, refine_head_vars=rhead_vars,
         refine_redewarp=refine_redewarp,
+        refine_iters=refine_iters,
     )
     return pipe, catalog
 
@@ -170,6 +172,8 @@ def main(argv=None):
     ap.add_argument("--refine-head", default="", help="RefineHead ckpt dir")
     ap.add_argument("--refine-redewarp", default="n", choices=("y", "n"),
                     help="re-dewarp off refined corners before embedding")
+    ap.add_argument("--refine-iters", type=int, default=1,
+                    help="refine head passes (>1 needs --refine-redewarp y)")
     ap.add_argument("--refine", default="n", choices=("y", "n"))
     ap.add_argument("--refine-crop", default="n", choices=("y", "n"))
     ap.add_argument("--both-orientations", default="y", choices=("y", "n"))
@@ -197,6 +201,7 @@ def main(argv=None):
         orient_head_ckpt=args.orient_head,
         refine_head_ckpt=args.refine_head,
         refine_redewarp=args.refine_redewarp == "y",
+        refine_iters=args.refine_iters,
     )
     gen = SceneGenerator(
         catalog, ProceduralBackgrounds(), num_cards_min=1,

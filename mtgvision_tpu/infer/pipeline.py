@@ -82,6 +82,7 @@ class FramePipeline:
         refine_head=None,
         refine_head_vars=None,
         refine_redewarp: bool = False,
+        refine_iters: int = 1,
         fast_dewarp: bool = True,
         dewarp_impl: str = "auto",  # "pallas" | "xla" | "auto"
         orient_sign: str = "notch",  # "notch" | "extent" (orient.py)
@@ -113,6 +114,7 @@ class FramePipeline:
         self.refine_head = refine_head
         self.refine_head_vars = refine_head_vars
         self.refine_redewarp = refine_redewarp
+        self.refine_iters = refine_iters
         if refine_head is not None:
             # the refine head's flip logit replaces both disambiguators
             self.both_orientations = False
@@ -218,33 +220,40 @@ class FramePipeline:
                 perspective_from_quads,
             )
 
-            offsets, flip_logit = self.refine_head.apply(
-                self.refine_head_vars, flat_crops
-            )
             nom = nominal_quad(self.crop_hw)
-            quad_crop = nom[None] + offsets  # (B·D,4,2)
-            corners_flat = corners.reshape(b * self.max_det, 4, 2)
-            m = perspective_from_quads(
-                corners_flat, jnp.broadcast_to(nom, corners_flat.shape)
-            )  # frame→crop per detection
-            new_corners = apply_transform_points(jnp.linalg.inv(m), quad_crop)
-            fin = jnp.all(jnp.isfinite(new_corners), axis=(-2, -1)).reshape(
-                b, self.max_det
-            )
-            new_corners = new_corners.reshape(b, self.max_det, 4, 2)
-            corners = jnp.where(
-                (ok & fin)[..., None, None], new_corners, corners
-            )
-            if self.refine_redewarp:
-                # re-dewarp off the corrected corners so the encoder sees a
-                # perfectly registered crop. Measured: +6.7 ms / 64 crops
-                # (the dewarp's hat-weight HBM traffic) for NO top-1 gain —
-                # identifiable-card top-1 is already 1.0 off the first crop
-                # (artifacts_r2/e2e_refinehead.json) — so serving defaults
-                # OFF: the corrected corners still flow to the output (the
-                # 5.6 px median vs 9.4 px unrefined), only the embedding
-                # reuses the stage-1 crop.
-                crops = dewarp(corners)
+            flip_logit = None
+            # extra iterations need a fresh crop per pass — only meaningful
+            # with re-dewarping on (each redewarp costs a dewarp pass)
+            iters = self.refine_iters if self.refine_redewarp else 1
+            for it in range(iters):
+                offsets, logit = self.refine_head.apply(
+                    self.refine_head_vars,
+                    crops.reshape(b * self.max_det, *self.crop_hw, 3),
+                )
+                if flip_logit is None:
+                    flip_logit = logit  # orientation fixed by pass 1
+                quad_crop = nom[None] + offsets  # (B·D,4,2)
+                corners_flat = corners.reshape(b * self.max_det, 4, 2)
+                m = perspective_from_quads(
+                    corners_flat, jnp.broadcast_to(nom, corners_flat.shape)
+                )  # frame→crop per detection
+                new_corners = apply_transform_points(jnp.linalg.inv(m), quad_crop)
+                fin = jnp.all(jnp.isfinite(new_corners), axis=(-2, -1)).reshape(
+                    b, self.max_det
+                )
+                new_corners = new_corners.reshape(b, self.max_det, 4, 2)
+                corners = jnp.where(
+                    (ok & fin)[..., None, None], new_corners, corners
+                )
+                if self.refine_redewarp:
+                    # re-dewarp off the corrected corners so the encoder sees
+                    # a registered crop. Measured: +6.7 ms / 64 crops (the
+                    # dewarp's hat-weight HBM traffic) for NO top-1 gain —
+                    # identifiable-card top-1 is already 1.0 off the first
+                    # crop (artifacts_r2/e2e_refinehead.json) — so serving
+                    # defaults OFF: the corrected corners still flow to the
+                    # output, only the embedding reuses the stage-1 crop.
+                    crops = dewarp(corners)
             flip = flip_logit.reshape(b, self.max_det) > 0.0
             crops = jnp.where(
                 flip[..., None, None, None],
