@@ -523,6 +523,7 @@ class EncoderDataset:
         pool_size: int = 4096,
         bg_pool_size: int = 256,
         pool_refresh_per_batch: int = 0,
+        p_occlude: float = 0.0,
     ):
         self.catalog = catalog
         self.backgrounds = backgrounds
@@ -534,6 +535,7 @@ class EncoderDataset:
         self.half_upsidedown = half_upsidedown
         self.target_is_input_prob = target_is_input_prob
         self.similar_neg_prob = similar_neg_prob
+        self.p_occlude = p_occlude
         self.rng = np.random.default_rng(seed)
         self.key = jax.random.PRNGKey(seed)
         self._img_cache: Optional[dict] = {} if cache_images else None
@@ -594,6 +596,7 @@ class EncoderDataset:
                 x_size_hw=self.x_size_hw,
                 y_size_hw=self.y_size_hw,
                 half_upsidedown=self.half_upsidedown,
+                p_occlude=self.p_occlude,
             )
             batch = {"x": out["x"], "x_labels": out["x_labels"]}
             if self.targets:
@@ -615,6 +618,11 @@ class EncoderDataset:
         bg0 = self.rng.integers(0, bgp.pool_size, n)
         bg1 = self.rng.integers(0, bgp.pool_size, n)
         t_mask = self.rng.random(n) < self.target_is_input_prob
+        occ_idx = (
+            jnp.asarray(self.rng.integers(0, pool.pool_size, n), jnp.int32)
+            if self.p_occlude > 0.0
+            else None
+        )
         out = make_pair_batch_pooled(
             self._next_key(),
             pool.images,
@@ -627,6 +635,8 @@ class EncoderDataset:
             x_size_hw=self.x_size_hw,
             y_size_hw=self.y_size_hw,
             half_upsidedown=self.half_upsidedown,
+            occ_idx=occ_idx,
+            p_occlude=self.p_occlude,
         )
         batch = {"x": out["x"], "x_labels": pool.slot_labels[card_idx]}
         if self.targets:
@@ -713,4 +723,5 @@ class EncoderDataset:
             target_is_input_prob=config.target_is_input_prob,
             similar_neg_prob=config.similar_neg_prob,
             seed=config.seed,
+            p_occlude=getattr(config, "p_occlude", 0.0),
         )

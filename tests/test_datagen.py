@@ -153,3 +153,25 @@ def test_sampled_batch_occlusion_gate():
         )
         assert out["x"].shape == (4, 96, 64, 3)
         assert np.isfinite(np.asarray(out["x"])).all()
+
+
+def test_dataset_p_occlude_reaches_pooled_paths(catalog, bgs):
+    """EncoderDataset(p_occlude=…) must flow into BOTH pooled batch paths
+    (device_sampling and host-index make_pair_batch_pooled) — the scan
+    trainer reads config.p_occlude directly, so a dataset that dropped it
+    would silently train the non-scan path without occlusion."""
+    for device_sampling in (True, False):
+        ds = EncoderDataset(
+            catalog, bgs, default_batch_size=4,
+            x_size_hw=(96, 64), y_size_hw=(96, 64),
+            device_sampling=device_sampling, p_occlude=1.0, seed=7,
+        )
+        ds0 = EncoderDataset(
+            catalog, bgs, default_batch_size=4,
+            x_size_hw=(96, 64), y_size_hw=(96, 64),
+            device_sampling=device_sampling, p_occlude=0.0, seed=7,
+        )
+        b, b0 = ds.random_batch(), ds0.random_batch()
+        assert b["x"].shape == b0["x"].shape
+        # same seed, only the occluder differs: p=1 must change the pixels
+        assert not np.allclose(np.asarray(b["x"]), np.asarray(b0["x"]))
