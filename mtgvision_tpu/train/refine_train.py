@@ -54,6 +54,16 @@ class RefineConfig:
     sigma_min: float = 0.5
     sigma_max: float = 9.0
     shift_sigma: float = 4.0
+    # heavy-tail mixture: with p_heavy the quad error is drawn far outside
+    # the proto-grid regime (occlusion-corrupted masks measured 20-100 px
+    # off in e2e_headline_occhead_details.jsonl) so iterative refinement
+    # (pipeline refine_iters + redewarp) can WALK large errors back, 24 px
+    # per pass. Labels are clipped to ±label_clip (< RefineHead.max_offset)
+    # so the tanh-bounded regression never trains toward saturation.
+    p_heavy: float = 0.25
+    heavy_sigma_max: float = 18.0
+    heavy_shift_sigma: float = 14.0
+    label_clip: float = 21.0
     # probability the crop contains a partially-covering neighbour card
     p_occlude: float = 0.3
     # loss
@@ -71,10 +81,19 @@ class RefineTrainState(struct.PyTreeNode):
 
 def make_refine_batch(key, card_pool_u8, bg_pool_u8, batch_size, size_hw,
                       sigma_min=0.5, sigma_max=9.0, shift_sigma=4.0,
-                      p_occlude=0.0):
+                      p_occlude=0.0, p_heavy=0.0, heavy_sigma_max=18.0,
+                      heavy_shift_sigma=14.0, label_clip=None):
     """Device-side batch: card warped to a KNOWN perturbed quad over a bg.
 
     Returns (x (B,H,W,3) float, offsets (B,4,2) crop-px, flip (B,) float).
+
+    ``p_heavy``: fraction of samples whose error is drawn from a wide
+    distribution (σ up to ``heavy_sigma_max``, shift σ ``heavy_shift_sigma``)
+    — the occlusion-corrupted-mask regime. When the true offset exceeds
+    ``label_clip`` the label is clipped: the best single-pass move for the
+    tanh-bounded head is a full step in the right direction, and the
+    pipeline's iterative redewarp (refine_iters) takes the next step from
+    a closer crop.
 
     ``p_occlude``: probability another card partially covers the target
     (shifted to leave 55-95% visible, like data/encoder_gen.make_virtual) —
@@ -90,7 +109,7 @@ def make_refine_batch(key, card_pool_u8, bg_pool_u8, batch_size, size_hw,
     from mtgvision_tpu.ops.image import img_float32, rgba_over_rgb
     from mtgvision_tpu.ops.warp import perspective_from_quads, warp_perspective
 
-    kc, kb, kf, ks, kn, kt, kg, ko = jax.random.split(key, 8)
+    kc, kb, kf, ks, kn, kt, kg, ko, kh, kht = jax.random.split(key, 10)
     p, q = card_pool_u8.shape[0], bg_pool_u8.shape[0]
     ci = jax.random.randint(kc, (batch_size,), 0, p)
     bi = jax.random.randint(kb, (batch_size,), 0, q)
@@ -109,12 +128,23 @@ def make_refine_batch(key, card_pool_u8, bg_pool_u8, batch_size, size_hw,
     sigma = jax.random.uniform(
         ks, (batch_size, 1, 1), minval=sigma_min, maxval=sigma_max
     )
+    shift_s = jnp.full((batch_size, 1, 1), shift_sigma, jnp.float32)
+    if p_heavy > 0.0:
+        heavy = jax.random.bernoulli(kh, p_heavy, (batch_size,))[:, None, None]
+        sigma_hv = jax.random.uniform(
+            kht, (batch_size, 1, 1), minval=sigma_min, maxval=heavy_sigma_max
+        )
+        sigma = jnp.where(heavy, sigma_hv, sigma)
+        shift_s = jnp.where(heavy, heavy_shift_sigma, shift_s)
     offsets = (
         jax.random.normal(kn, (batch_size, 4, 2)) * sigma
-        + jax.random.normal(kt, (batch_size, 1, 2)) * shift_sigma
+        + jax.random.normal(kt, (batch_size, 1, 2)) * shift_s
     )
     nom = nominal_quad(size_hw)
     quads = nom[None] + offsets
+    labels = offsets
+    if label_clip is not None:
+        labels = jnp.clip(offsets, -label_clip, label_clip)
 
     hc, wc = cards.shape[1:3]
     src = jnp.asarray(
@@ -154,7 +184,7 @@ def make_refine_batch(key, card_pool_u8, bg_pool_u8, batch_size, size_hw,
         x = jax.vmap(lambda k, c, b, q: one(k, c, b, q, None))(
             keys, cards, bgs, quads
         )
-    return x, offsets, flip.astype(jnp.float32)
+    return x, labels, flip.astype(jnp.float32)
 
 
 def loss_fn(params, x, offsets, flip, apply_fn, flip_weight=1.0, huber_delta=2.0):
@@ -229,7 +259,8 @@ def train(config: RefineConfig, catalog=None, backgrounds=None) -> RefineTrainSt
             x, offsets, flip = make_refine_batch(
                 k, card_images, bg_images, config.batch_size, config.size_hw,
                 config.sigma_min, config.sigma_max, config.shift_sigma,
-                config.p_occlude,
+                config.p_occlude, config.p_heavy, config.heavy_sigma_max,
+                config.heavy_shift_sigma, config.label_clip,
             )
             return train_step(state, x, offsets, flip, config)
 

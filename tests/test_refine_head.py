@@ -173,3 +173,25 @@ def test_make_refine_batch_occluded():
     assert np.allclose(np.asarray(off0), np.asarray(off1))
     assert np.allclose(np.asarray(fl0), np.asarray(fl1))
     assert not np.allclose(np.asarray(x0), np.asarray(x1))
+
+
+def test_make_refine_batch_heavy_tail_clipped_labels():
+    """p_heavy=1 draws wide errors; labels come back clipped to ±label_clip
+    (the tanh-bounded head must never train toward saturation) while the
+    composite still renders finite in-range pixels."""
+    rng = np.random.default_rng(5)
+    cards = jnp.asarray(rng.integers(0, 255, (8, 64, 48, 3), np.uint8))
+    bgs = jnp.asarray(rng.integers(0, 255, (4, 96, 96, 3), np.uint8))
+    x, labels, flip = jax.jit(
+        lambda k: make_refine_batch(
+            k, cards, bgs, 32, (96, 64),
+            p_heavy=1.0, heavy_sigma_max=18.0, heavy_shift_sigma=14.0,
+            label_clip=21.0,
+        )
+    )(jax.random.PRNGKey(2))
+    labels = np.asarray(labels)
+    assert np.abs(labels).max() <= 21.0 + 1e-5
+    # the heavy mixture must actually produce saturating errors sometimes
+    assert (np.abs(labels) > 15.0).any()
+    x = np.asarray(x)
+    assert np.isfinite(x).all() and x.min() >= 0.0 and x.max() <= 1.0
