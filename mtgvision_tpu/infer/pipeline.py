@@ -88,6 +88,11 @@ class FramePipeline:
         orient_sign: str = "notch",  # "notch" | "extent" (orient.py)
         orient_head=None,  # models/orient_head.OrientHead | None
         orient_head_vars=None,
+        # "seg" (notch-mask instance seg, the flagship) or "obb" (3 keypoint
+        # classes card/top/bottom — detector must be num_classes=3); the obb
+        # front end recovers oriented quads analytically (infer/obb.py) and
+        # shares the whole dewarp→refine→embed→match tail
+        det_kind: str = "seg",
     ):
         self.detector = detector
         self.det_variables = det_variables
@@ -128,8 +133,12 @@ class FramePipeline:
             # — the XLA path wins, the kernel stays available for explicit use
             dewarp_impl = "xla"
         self.dewarp_impl = dewarp_impl
+        self.det_kind = det_kind
+        # obb needs 3 raw detections (card/top/bottom) per card slot
+        self._det_slots = max_det * 3 if det_kind == "obb" else max_det
         self._detect = jax.jit(self._detect_stage)
         self._rectify_embed = jax.jit(self._rectify_embed_stage)
+        self._rectify_embed_obb = jax.jit(self._rectify_embed_obb_stage)
         self._match = jax.jit(functools.partial(cosine_topk, k=top_k))
         # match + orientation selection as ONE program: the selection ops
         # (take_along_axis/roll/where) ran eagerly before, costing ~5 host
@@ -143,7 +152,7 @@ class FramePipeline:
             det_vars,
             self.detector,
             frames,
-            max_det=self.max_det,
+            max_det=self._det_slots,
             score_thresh=self.score_thresh,
         )
 
@@ -170,6 +179,30 @@ class FramePipeline:
             return jax.vmap(per_det)(frame_masks, frame_valid)
 
         corners, ok = jax.vmap(per_frame)(masks, valid)
+        return self._embed_from_corners(enc_vars, frames, corners, ok)
+
+    def _rectify_embed_obb_stage(
+        self, enc_vars, frames, boxes, scores, classes, masks, valid
+    ):
+        """OBB-kind front end: oriented quads from the 3 keypoint classes
+        (infer/obb.py), then the SAME dewarp → refine head → encoder path the
+        seg kind uses. Also re-indexes the raw det-slot arrays to the
+        per-card slots (inside the jit — eager gathers cost a dispatch each
+        on remote runtimes)."""
+        from mtgvision_tpu.infer.obb import obb_card_corners_batch
+
+        b = frames.shape[0]
+        corners, ok, card_idx = obb_card_corners_batch(
+            boxes, scores, classes, valid, max_cards=self.max_det
+        )
+        out = self._embed_from_corners(enc_vars, frames, corners, ok)
+        take = lambda a: jnp.take_along_axis(
+            a, card_idx.reshape(b, self.max_det, *([1] * (a.ndim - 2))), axis=1
+        )
+        return (*out, take(boxes), take(scores), take(classes), take(masks))
+
+    def _embed_from_corners(self, enc_vars, frames, corners, ok):
+        b = frames.shape[0]
 
         def dewarp(corners_):
             if self.fast_dewarp and self.dewarp_impl == "pallas":
@@ -330,9 +363,16 @@ class FramePipeline:
     def run(self, frames, index_mat=None):
         b = frames.shape[0]
         boxes, scores, classes, masks, valid = self._detect(self.det_variables, frames)
-        crops, corners, ok, z, head_flip = self._rectify_embed(
-            self.enc_variables, frames, masks, valid
-        )
+        if self.det_kind == "obb":
+            (crops, corners, ok, z, head_flip,
+             boxes, scores, classes, masks) = self._rectify_embed_obb(
+                self.enc_variables, frames, boxes, scores, classes, masks, valid
+            )
+            valid = ok
+        else:
+            crops, corners, ok, z, head_flip = self._rectify_embed(
+                self.enc_variables, frames, masks, valid
+            )
         match_scores = match_idx = None
         flipped = head_flip
         z_sel = z[0]

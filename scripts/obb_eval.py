@@ -66,8 +66,13 @@ def main(argv=None):
         )
     )
 
+    from mtgvision_tpu.data.scene_gen import apply_m, card_bbox
+    from mtgvision_tpu.infer.obb import obb_card_corners
+
     names = ("card", "card_top", "card_bottom")
     agg = {c: dict(gt=0, hit=0, iou=0.0) for c in names}
+    quad_errs: list[float] = []
+    n_quads = 0
     for _ in range(args.n_scenes):
         s, gt = _scene_with_gt(gen)
         h = s.shape[0]
@@ -101,7 +106,34 @@ def main(argv=None):
                 agg[cname]["hit"] += 1
                 agg[cname]["iou"] += best_iou
 
+        # oriented quad recovery (infer/obb.py): associate card/top/bottom
+        # dets, solve the rotated rect, score ORIENTED corner error vs GT
+        rec_c, rec_ok, _ = (
+            np.asarray(x)
+            for x in obb_card_corners(
+                jnp.asarray(boxes), scores[0], jnp.asarray(classes),
+                jnp.asarray(ok), max_cards=8,
+            )
+        )
+        gt_quads = [apply_m(card_bbox(card_hw), m) for _, m in gt]
+        n_quads += len(gt_quads)
+        for q in gt_quads:
+            ctr = q.mean(0)
+            cand = [
+                i for i in range(len(rec_ok))
+                if rec_ok[i]
+                and np.linalg.norm(rec_c[i].mean(0) - ctr) < 0.5 * np.ptp(q)
+            ]
+            if not cand:
+                continue
+            i = min(cand, key=lambda i: np.linalg.norm(rec_c[i].mean(0) - ctr))
+            quad_errs.append(float(np.linalg.norm(rec_c[i] - q, axis=-1).mean()))
+
     rec = {"det": args.det, "iou_thresh": args.iou}
+    rec["quad_recall"] = round(len(quad_errs) / max(n_quads, 1), 4)
+    rec["quad_err_px"] = round(
+        float(np.mean(quad_errs)) if quad_errs else float("nan"), 2
+    )
     for c, a in agg.items():
         rec[f"{c}_recall"] = round(a["hit"] / max(a["gt"], 1), 4)
         rec[f"{c}_mean_iou"] = round(a["iou"] / max(a["hit"], 1), 4)

@@ -157,3 +157,30 @@ def test_dual_orientation_match_selects_flip():
     np.testing.assert_allclose(np.asarray(z_sel[0, 1]), np.asarray(z[1, 0, 1]), atol=1e-6)
     # and the reported match score is the better orientation's
     assert float(match_scores[0, 1, 0]) >= float(match_scores[0, 0, 0]) - 1e-6
+
+
+def test_obb_pipeline_mode():
+    """det_kind="obb": 3-class detector → analytic quads (infer/obb.py) →
+    shared dewarp/embed/match tail; per-card outputs re-indexed from the
+    3x raw detection slots."""
+    rng = jax.random.PRNGKey(0)
+    det = YoloSeg(num_classes=3, size="n")
+    det_vars = det.init(rng, jnp.zeros((1, 128, 128, 3)), False)
+    enc = ConvNeXtV2Encoder(
+        image_hw=(96, 64), z_size=96, head_type="conv+linear",
+        depths=(1, 1, 1, 1), dims=(8, 16, 24, 32),
+    )
+    enc_vars = {"params": enc.init(rng, jnp.zeros((1, 96, 64, 3)))["params"]}
+    pipe = FramePipeline(
+        det, det_vars, enc, enc_vars, store=None, max_det=2,
+        crop_hw=(96, 64), det_kind="obb",
+    )
+    assert pipe._det_slots == 6
+    frames = jnp.asarray(np.random.default_rng(2).random((1, 128, 128, 3), np.float32))
+    out = pipe.run(frames)
+    assert out["boxes"].shape == (1, 2, 4)
+    assert out["corners"].shape == (1, 2, 4, 2)
+    assert out["crops"].shape == (1, 2, 96, 64, 3)
+    assert out["z"].shape == (1, 2, 96)
+    assert out["valid"].shape == (1, 2)
+    assert np.isfinite(np.asarray(out["corners"])).all()
