@@ -97,6 +97,7 @@ def build_system(
     refine_head_ckpt: str = "",
     refine_redewarp: bool = False,
     refine_iters: int = 1,
+    box_snap: bool = False,
 ):
     """(FramePipeline with store attached, catalog). Populates the index by
     embedding every catalog card's crop (qdrant_populate.py:70-90 semantics)."""
@@ -146,6 +147,7 @@ def build_system(
         refine_head=rhead, refine_head_vars=rhead_vars,
         refine_redewarp=refine_redewarp,
         refine_iters=refine_iters,
+        box_snap=box_snap,
     )
     return pipe, catalog
 
@@ -174,6 +176,8 @@ def main(argv=None):
                     help="re-dewarp off refined corners before embedding")
     ap.add_argument("--refine-iters", type=int, default=1,
                     help="refine head passes (>1 needs --refine-redewarp y)")
+    ap.add_argument("--box-snap", default="n", choices=("y", "n"),
+                    help="snap moment-quad scale/center to the amodal box")
     ap.add_argument("--refine", default="n", choices=("y", "n"))
     ap.add_argument("--refine-crop", default="n", choices=("y", "n"))
     ap.add_argument("--both-orientations", default="y", choices=("y", "n"))
@@ -202,6 +206,7 @@ def main(argv=None):
         refine_head_ckpt=args.refine_head,
         refine_redewarp=args.refine_redewarp == "y",
         refine_iters=args.refine_iters,
+        box_snap=args.box_snap == "y",
     )
     gen = SceneGenerator(
         catalog, ProceduralBackgrounds(), num_cards_min=1,

@@ -43,6 +43,25 @@ from mtgvision_tpu.models.yolo import YoloSeg, detect
 from mtgvision_tpu.ops.topk import cosine_topk
 
 
+def box_snap_quads(corners: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+    """Snap quad scale+center to the detector's amodal boxes.
+
+    corners (…,4,2), boxes (…,4) xyxy → corrected corners. Isotropic
+    grow-only scale about the quad center (frame-axis anisotropic scaling
+    would shear a rotated quad; card aspect is fixed so isotropic is the
+    principled correction; occlusion only ever SHRINKS masks so s ≥ 1),
+    bounded at 2× against box outliers, then re-centered on the box."""
+    qlo = corners.min(axis=-2)
+    qhi = corners.max(axis=-2)
+    qc = 0.5 * (qlo + qhi)
+    qwh = jnp.maximum(qhi - qlo, 1e-3)
+    blo, bhi = boxes[..., :2], boxes[..., 2:]
+    bwh = jnp.maximum(bhi - blo, 1e-3)
+    s = jnp.clip(jnp.max(bwh / qwh, axis=-1, keepdims=True), 1.0, 2.0)
+    bc = 0.5 * (blo + bhi)
+    return (corners - qc[..., None, :]) * s[..., None, :] + bc[..., None, :]
+
+
 class FramePipeline:
     """Owns detector+encoder params and the jitted frame program.
 
@@ -93,6 +112,15 @@ class FramePipeline:
         # front end recovers oriented quads analytically (infer/obb.py) and
         # shares the whole dewarp→refine→embed→match tail
         det_kind: str = "seg",
+        # snap moment-quad scale/center to the detector's box before
+        # refinement. Hypothesis was the box is amodal and restores occluded
+        # extent; MEASURED NEGATIVE on the multicard-occlusion protocol
+        # (artifacts_r2/e2e_headline_boxsnap.json vs …_rh6k.json: occluded
+        # corner err 57.9→89.8 px, occluded top-1 0.40→0.27, clear
+        # 31.0→33.8 px) — predicted boxes are not reliably amodal and
+        # isotropic growth amplifies the mask quad's rotation error. Kept
+        # as an off-by-default ablation flag.
+        box_snap: bool = False,
     ):
         self.detector = detector
         self.det_variables = det_variables
@@ -134,6 +162,7 @@ class FramePipeline:
             dewarp_impl = "xla"
         self.dewarp_impl = dewarp_impl
         self.det_kind = det_kind
+        self.box_snap = box_snap
         # obb needs 3 raw detections (card/top/bottom) per card slot
         self._det_slots = max_det * 3 if det_kind == "obb" else max_det
         self._detect = jax.jit(self._detect_stage)
@@ -158,7 +187,7 @@ class FramePipeline:
 
     # -- stage 2: orient → dewarp → embed -----------------------------------
 
-    def _rectify_embed_stage(self, enc_vars, frames, masks, valid):
+    def _rectify_embed_stage(self, enc_vars, frames, masks, valid, boxes=None):
         b, h, w, _ = frames.shape
 
         # masks are at 1/4 frame resolution — orient there, scale corners up.
@@ -179,6 +208,14 @@ class FramePipeline:
             return jax.vmap(per_det)(frame_masks, frame_valid)
 
         corners, ok = jax.vmap(per_frame)(masks, valid)
+        if self.box_snap and boxes is not None:
+            # The detector's box GT is the full quad AABB (amodal) while the
+            # mask covers only visible pixels, so moment corners shrink
+            # toward the visible half on occluded cards (20-100 px off,
+            # e2e_headline_occhead_details.jsonl). Snapping scale+center to
+            # the box was meant to restore amodal extent — measured NEGATIVE
+            # (see the box_snap flag note in __init__): default off.
+            corners = box_snap_quads(corners, boxes)
         return self._embed_from_corners(enc_vars, frames, corners, ok)
 
     def _rectify_embed_obb_stage(
@@ -371,7 +408,7 @@ class FramePipeline:
             valid = ok
         else:
             crops, corners, ok, z, head_flip = self._rectify_embed(
-                self.enc_variables, frames, masks, valid
+                self.enc_variables, frames, masks, valid, boxes
             )
         match_scores = match_idx = None
         flipped = head_flip

@@ -184,3 +184,32 @@ def test_obb_pipeline_mode():
     assert out["z"].shape == (1, 2, 96)
     assert out["valid"].shape == (1, 2)
     assert np.isfinite(np.asarray(out["corners"])).all()
+
+
+def test_box_snap_quads():
+    """Occlusion shrinks the mask quad toward the visible half; the amodal
+    box restores scale+center. Clean quads (AABB == box) are a no-op."""
+    from mtgvision_tpu.infer.pipeline import box_snap_quads
+
+    # true rotated card quad
+    theta = 0.5
+    c, s = np.cos(theta), np.sin(theta)
+    r = np.asarray([[c, -s], [s, c]])
+    half = np.asarray([[-70, -100], [70, -100], [70, 100], [-70, 100]], np.float64)
+    true_q = half @ r.T + np.asarray([320.0, 240.0])
+    box = np.asarray(
+        [true_q[:, 0].min(), true_q[:, 1].min(), true_q[:, 0].max(), true_q[:, 1].max()]
+    )
+    # occlusion bias: quad shrunk 35% toward its top-left corner
+    biased = true_q * 0.65 + true_q[0] * 0.35
+    snapped = np.asarray(
+        box_snap_quads(jnp.asarray(biased[None]), jnp.asarray(box[None]))
+    )[0]
+    err_before = np.linalg.norm(biased - true_q, axis=-1).mean()
+    err_after = np.linalg.norm(snapped - true_q, axis=-1).mean()
+    assert err_after < 0.35 * err_before, (err_before, err_after)
+    # clean quad: no-op
+    clean = np.asarray(
+        box_snap_quads(jnp.asarray(true_q[None]), jnp.asarray(box[None]))
+    )[0]
+    assert np.abs(clean - true_q).max() < 1e-3
