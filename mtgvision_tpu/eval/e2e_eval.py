@@ -197,6 +197,93 @@ def evaluate_e2e(
     return stats
 
 
+def evaluate_oracle(
+    pipeline,
+    gen: SceneGenerator,
+    n_scenes: int = 50,
+    details: list | None = None,
+    idable_area_px: float = 4096.0,
+) -> E2EStats:
+    """GT-corner oracle: run only the embed→match tail with PERFECT quads
+    (FramePipeline.run_corners). Splits e2e failure causes: oracle top-1 is
+    the appearance-limited ceiling (occluder pixels inside the crop, tiny
+    cards), and the gap between the full pipeline and the oracle is what
+    detection + orientation + corner misregistration cost. recall is 1.0 by
+    construction; flip_rate measures only the configured tail's own flips."""
+    import jax.numpy as jnp
+
+    from mtgvision_tpu.ops.polygon import poly_area, poly_intersection_area
+
+    stats = E2EStats()
+    card_hw = gen.catalog.card_hw
+    d_slots = pipeline.max_det
+    for _ in range(n_scenes):
+        s, gt = _scene_with_gt(gen)
+        gt = gt[:d_slots]
+        quads = [apply_m(card_bbox(card_hw), m) for _, m in gt]
+        corners = np.zeros((1, d_slots, 4, 2), np.float32)
+        ok = np.zeros((1, d_slots), bool)
+        for i, q in enumerate(quads):
+            corners[0, i] = q
+            ok[0, i] = True
+        out = pipeline.run_corners(
+            jnp.asarray(s)[None], jnp.asarray(corners), jnp.asarray(ok)
+        )
+        out_corners = np.asarray(out["corners"][0])
+        match_idx = out["match_idx"]
+        for gi, (card, _) in enumerate(gt):
+            stats.n_gt += 1
+            stats.n_detected += 1
+            quad = quads[gi]
+            idable = poly_area(quad) >= idable_area_px
+            if idable:
+                stats.n_gt_idable += 1
+                stats.n_detected_idable += 1
+            err = float(np.linalg.norm(out_corners[gi] - quad, axis=1).mean())
+            err_flip = float(
+                np.linalg.norm(
+                    np.roll(out_corners[gi], 2, axis=0) - quad, axis=1
+                ).mean()
+            )
+            stats.corner_err_sum += err
+            stats.oriented_err_sum += min(err, err_flip)
+            if err_flip < err:
+                stats.n_flipped += 1
+            rank = -1
+            if match_idx is not None and pipeline.store is not None:
+                ids = []
+                for k in range(match_idx.shape[-1]):
+                    ridx = int(np.asarray(match_idx[0, gi, k]))
+                    if ridx < len(pipeline.store):
+                        ids.append(pipeline.store._ids[ridx])
+                if card.id in ids:
+                    rank = ids.index(card.id)
+                if ids[:1] == [card.id]:
+                    stats.n_top1 += 1
+                    if idable:
+                        stats.n_top1_idable += 1
+                if card.id in ids[:5]:
+                    stats.n_top5 += 1
+                    if idable:
+                        stats.n_top5_idable += 1
+            if details is not None:
+                area = poly_area(quad)
+                occ = sum(
+                    poly_intersection_area(quad, quads[j]) for j in range(gi)
+                )
+                scores = out.get("match_scores")
+                details.append({
+                    "detected": True, "rank": rank, "card_id": card.id,
+                    "corner_err": err, "quad_err": min(err, err_flip),
+                    "flipped": bool(err_flip < err),
+                    "area_px": float(area),
+                    "occluded_frac": float(min(occ / max(area, 1e-6), 1.0)),
+                    "score0": float(np.asarray(scores[0, gi, 0]))
+                    if scores is not None else None,
+                })
+    return stats
+
+
 def _scene_with_gt(gen: SceneGenerator):
     """SceneGenerator.random() variant that returns (image, [(card, M), …])."""
     import jax

@@ -178,6 +178,9 @@ def main(argv=None):
                     help="refine head passes (>1 needs --refine-redewarp y)")
     ap.add_argument("--box-snap", default="n", choices=("y", "n"),
                     help="snap moment-quad scale/center to the amodal box")
+    ap.add_argument("--oracle", default="n", choices=("y", "n"),
+                    help="GT-corner oracle: embed+match tail only "
+                    "(appearance-limited ceiling, evaluate_oracle)")
     ap.add_argument("--refine", default="n", choices=("y", "n"))
     ap.add_argument("--refine-crop", default="n", choices=("y", "n"))
     ap.add_argument("--both-orientations", default="y", choices=("y", "n"))
@@ -214,7 +217,12 @@ def main(argv=None):
         card_min_area_ratio=args.min_area_ratio,
     )
     details: list | None = [] if args.details_out else None
-    stats = evaluate_e2e(pipe, gen, n_scenes=args.n_scenes, details=details)
+    if args.oracle == "y":
+        from mtgvision_tpu.eval.e2e_eval import evaluate_oracle
+
+        stats = evaluate_oracle(pipe, gen, n_scenes=args.n_scenes, details=details)
+    else:
+        stats = evaluate_e2e(pipe, gen, n_scenes=args.n_scenes, details=details)
     print(stats)
     rec = {
         "recall": stats.recall, "top1": stats.top1, "top5": stats.top5,

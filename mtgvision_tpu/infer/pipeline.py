@@ -167,6 +167,10 @@ class FramePipeline:
         self._det_slots = max_det * 3 if det_kind == "obb" else max_det
         self._detect = jax.jit(self._detect_stage)
         self._rectify_embed = jax.jit(self._rectify_embed_stage)
+        # oracle/diagnostic: embed+match from externally supplied corners
+        # (skips detect+orient) — isolates appearance-limited accuracy from
+        # corner-misregistration error (eval/e2e_eval.evaluate_oracle)
+        self._embed_corners = jax.jit(self._embed_from_corners)
         self._rectify_embed_obb = jax.jit(self._rectify_embed_obb_stage)
         self._match = jax.jit(functools.partial(cosine_topk, k=top_k))
         # match + orientation selection as ONE program: the selection ops
@@ -436,6 +440,37 @@ class FramePipeline:
         """frames (B,H,W,3) float [0,1] → padded detection dict (device arrays)."""
         mat = self.store._matrix() if (self.store is not None and len(self.store)) else None
         return self.run(frames, mat)
+
+    def run_corners(self, frames, corners, ok, index_mat=None):
+        """Diagnostic entry: embed + match from GIVEN frame-space corners
+        (B,D,4,2 in the pipeline's TL,TR,BR,BL convention), bypassing
+        detect + orient. With GT quads this measures the appearance-limited
+        ceiling of the embed→match tail — if oracle top-1 is also low on
+        occluded cards, better corners cannot fix them and the encoder must
+        be retrained; if oracle is high, corner misregistration is the cost.
+        The configured tail (refine head / dual orientation) still runs."""
+        if index_mat is None and self.store is not None and len(self.store):
+            index_mat = self.store._matrix()
+        crops, corners, ok, z, head_flip = self._embed_corners(
+            self.enc_variables, frames, corners, ok
+        )
+        match_scores = match_idx = None
+        flipped = head_flip
+        z_sel = z[0]
+        if index_mat is not None:
+            match_scores, match_idx, corners, m_flip, z_sel = self._match_select(
+                z, corners, index_mat
+            )
+            flipped = flipped ^ m_flip
+        return {
+            "corners": corners,
+            "valid": ok,
+            "crops": crops,
+            "z": z_sel,
+            "flipped": flipped,
+            "match_scores": match_scores,
+            "match_idx": match_idx,
+        }
 
     def detect_frame(self, frame: np.ndarray) -> list[dict]:
         """Host-facing single-frame API: list of detections with resolved
