@@ -171,6 +171,7 @@ class FramePipeline:
         # (skips detect+orient) — isolates appearance-limited accuracy from
         # corner-misregistration error (eval/e2e_eval.evaluate_oracle)
         self._embed_corners = jax.jit(self._embed_from_corners)
+        self._fused = None  # lazily-jitted single-program variant (run_fused)
         self._rectify_embed_obb = jax.jit(self._rectify_embed_obb_stage)
         self._match = jax.jit(functools.partial(cosine_topk, k=top_k))
         # match + orientation selection as ONE program: the selection ops
@@ -441,6 +442,49 @@ class FramePipeline:
         mat = self.store._matrix() if (self.store is not None and len(self.store)) else None
         return self.run(frames, mat)
 
+    def run_fused(self, frames, index_mat):
+        """Single-program variant of run(): the three stages trace into ONE
+        jitted program, so a frame batch costs one host dispatch instead of
+        three. The chained path's dispatches already overlap device compute
+        on remote runtimes (run()'s stages), so the win is bounded by the
+        per-dispatch round-trip (~5 ms on tunneled TPUs) minus what overlap
+        already hides — measure both (bench_e2e(fused=…)) before switching a
+        deployment. Requires a store matrix (match runs inside the program).
+        """
+        if self._fused is None:
+            def fused(det_vars, enc_vars, frames_, mat):
+                boxes, scores, classes, masks, valid = self._detect_stage(
+                    det_vars, frames_
+                )
+                if self.det_kind == "obb":
+                    (crops, corners, ok, z, head_flip, boxes, scores,
+                     classes, masks) = self._rectify_embed_obb_stage(
+                        enc_vars, frames_, boxes, scores, classes, masks, valid
+                    )
+                else:
+                    crops, corners, ok, z, head_flip = self._rectify_embed_stage(
+                        enc_vars, frames_, masks, valid, boxes
+                    )
+                ms, mi, corners, m_flip, z_sel = self._match_select_stage(
+                    z, corners, mat
+                )
+                return {
+                    "boxes": boxes,
+                    "det_scores": scores,
+                    "classes": classes,
+                    "masks": masks,
+                    "corners": corners,
+                    "valid": ok,
+                    "crops": crops,
+                    "z": z_sel,
+                    "flipped": head_flip ^ m_flip,
+                    "match_scores": ms,
+                    "match_idx": mi,
+                }
+
+            self._fused = jax.jit(fused)
+        return self._fused(self.det_variables, self.enc_variables, frames, index_mat)
+
     def run_corners(self, frames, corners, ok, index_mat=None):
         """Diagnostic entry: embed + match from GIVEN frame-space corners
         (B,D,4,2 in the pipeline's TL,TR,BR,BL convention), bypassing
@@ -518,6 +562,7 @@ def build_e2e_pipeline(
     enc_size: str = "nano",
     max_det: int = 8,
     seed: int = 0,
+    fused: bool = False,
 ):
     """Random-weight pipeline at deployment sizes (YOLO11-s + ConvNeXtV2 nano,
     od_train.py:138-151 / encoder_export.py:23-26) for throughput benchmarks."""
@@ -549,14 +594,14 @@ def build_e2e_pipeline(
     db = db / jnp.linalg.norm(db, axis=1, keepdims=True)
 
     def run(frames):
-        out = pipe.run(frames, db)
+        out = pipe.run_fused(frames, db) if fused else pipe.run(frames, db)
         return out["match_idx"], out["valid"]
 
     frames = jax.random.uniform(jax.random.PRNGKey(2), (batch, *frame_hw, 3))
     return run, frames
 
 
-def bench_e2e(batch: int = 8, iters: int = 20) -> float:
+def bench_e2e(batch: int = 8, iters: int = 20, fused: bool = False) -> float:
     """Frames/s/chip for the full detect→orient→rectify→embed→match program.
 
     Methodology: TWO independent data chains (each iteration's frame input
@@ -568,7 +613,7 @@ def bench_e2e(batch: int = 8, iters: int = 20) -> float:
     Measured r2 (v5e-1, quiet): 1-chain 341.9 fps, 2-chain 352.5 fps — the
     delta is the honest dispatch-overlap gain, not an artifact.
     """
-    run, frames = build_e2e_pipeline(batch=batch)
+    run, frames = build_e2e_pipeline(batch=batch, fused=fused)
 
     def step(c):
         idx, valid = run(frames + c)

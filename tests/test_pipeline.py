@@ -186,6 +186,28 @@ def test_obb_pipeline_mode():
     assert np.isfinite(np.asarray(out["corners"])).all()
 
 
+def test_run_fused_matches_chained(pipeline):
+    """run_fused (one jitted program) must agree with the 3-program chained
+    path on every output that run() produces."""
+    frames = jnp.asarray(
+        np.random.default_rng(3).random((2, 128, 128, 3), np.float32)
+    )
+    mat = pipeline.store._matrix()
+    a = pipeline.run(frames, mat)
+    b = pipeline.run_fused(frames, mat)
+    assert set(b) == set(a)
+    np.testing.assert_array_equal(np.asarray(a["valid"]), np.asarray(b["valid"]))
+    np.testing.assert_allclose(
+        np.asarray(a["corners"]), np.asarray(b["corners"]), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(a["match_scores"]), np.asarray(b["match_scores"]), atol=1e-3
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a["match_idx"]), np.asarray(b["match_idx"])
+    )
+
+
 def test_oracle_corners_eval():
     """GT-corner oracle (run_corners + evaluate_oracle): recall is 1.0 by
     construction, every GT card is scored, and the match/detail fields are
