@@ -225,6 +225,8 @@ def build_pipeline(
     store=None,
     orient_head_ckpt: str | None = None,
     refine_head_ckpt: str | None = None,
+    refine_redewarp: bool = False,
+    refine_iters: int = 1,
 ):
     """FramePipeline from checkpoints (trained serving) or random weights
     (smoke runs). Checkpoint dirs accept slim exports or train ckpt dirs
@@ -283,6 +285,7 @@ def build_pipeline(
         det, det_vars, enc, enc_vars, store=store,
         orient_head=head, orient_head_vars=head_vars,
         refine_head=rhead, refine_head_vars=rhead_vars,
+        refine_redewarp=refine_redewarp, refine_iters=refine_iters,
     )
 
 
@@ -307,6 +310,11 @@ def main(argv=None):
     ap.add_argument("--index", default=None, help="VectorStore save_to_dir path")
     ap.add_argument("--orient-head", default=None, help="OrientHead ckpt dir")
     ap.add_argument("--refine-head", default=None, help="RefineHead ckpt dir")
+    ap.add_argument("--refine-redewarp", default="n", choices=("y", "n"),
+                    help="re-dewarp off refined corners before embedding "
+                    "(helps occluded cards; ~+7 ms / 64 crops)")
+    ap.add_argument("--refine-iters", type=int, default=1,
+                    help="refine head passes (>1 needs --refine-redewarp y)")
     args = ap.parse_args(argv)
 
     store = None
@@ -318,6 +326,8 @@ def main(argv=None):
         args.det, args.enc, args.det_size, args.enc_model, store,
         orient_head_ckpt=args.orient_head,
         refine_head_ckpt=args.refine_head,
+        refine_redewarp=args.refine_redewarp == "y",
+        refine_iters=args.refine_iters,
     )
     app = make_app(lambda: TrackerCtx(pipe), pathlib.Path(args.static_dir))
     web.run_app(app, host=args.host, port=args.port)
