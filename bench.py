@@ -47,9 +47,20 @@ def main():
         have_e2e = False
 
     if have_e2e:
+        import sys
+
         from mtgvision_tpu.infer.pipeline import bench_e2e
 
-        fps = bench_e2e()
+        # measure both program layouts and serve the faster: chained (3
+        # dispatches that overlap device compute) vs fused (1 dispatch,
+        # run_fused) — which wins depends on the runtime's dispatch cost
+        fps_chained = bench_e2e()
+        fps_fused = bench_e2e(fused=True)
+        fps = max(fps_chained, fps_fused)
+        print(
+            f"chained={fps_chained:.1f} fused={fps_fused:.1f} fps",
+            file=sys.stderr,
+        )
         print(json.dumps({
             "metric": "e2e_frames_per_sec_per_chip_640px",
             "value": round(fps, 2),
