@@ -66,6 +66,14 @@ class RefineConfig:
     label_clip: float = 21.0
     # probability the crop contains a partially-covering neighbour card
     p_occlude: float = 0.3
+    # probability the crop simulates a LOW-SOURCE-RESOLUTION card. Serving
+    # dewarps of small frame quads are blurry bilinear upsamples (a 700 px²
+    # card is ~26 px wide in frame vs the 128 px crop, ~5x magnification);
+    # a head trained only on sharp composites fails exactly there
+    # (e2e_refdist_iter3_details: sub-4k px² median relative corner error
+    # 0.25 of card width vs 0.01 for >10k px²). Down-up resampling at a
+    # random integer factor reproduces that appearance; labels unchanged.
+    p_lowres: float = 0.0
     # loss
     flip_weight: float = 1.0
     huber_delta: float = 2.0
@@ -82,7 +90,7 @@ class RefineTrainState(struct.PyTreeNode):
 def make_refine_batch(key, card_pool_u8, bg_pool_u8, batch_size, size_hw,
                       sigma_min=0.5, sigma_max=9.0, shift_sigma=4.0,
                       p_occlude=0.0, p_heavy=0.0, heavy_sigma_max=18.0,
-                      heavy_shift_sigma=14.0, label_clip=None):
+                      heavy_shift_sigma=14.0, label_clip=None, p_lowres=0.0):
     """Device-side batch: card warped to a KNOWN perturbed quad over a bg.
 
     Returns (x (B,H,W,3) float, offsets (B,4,2) crop-px, flip (B,) float).
@@ -109,7 +117,7 @@ def make_refine_batch(key, card_pool_u8, bg_pool_u8, batch_size, size_hw,
     from mtgvision_tpu.ops.image import img_float32, rgba_over_rgb
     from mtgvision_tpu.ops.warp import perspective_from_quads, warp_perspective
 
-    kc, kb, kf, ks, kn, kt, kg, ko, kh, kht = jax.random.split(key, 10)
+    kc, kb, kf, ks, kn, kt, kg, ko, kh, kht, kl1, kl2 = jax.random.split(key, 12)
     p, q = card_pool_u8.shape[0], bg_pool_u8.shape[0]
     ci = jax.random.randint(kc, (batch_size,), 0, p)
     bi = jax.random.randint(kb, (batch_size,), 0, q)
@@ -184,6 +192,30 @@ def make_refine_batch(key, card_pool_u8, bg_pool_u8, batch_size, size_hw,
         x = jax.vmap(lambda k, c, b, q: one(k, c, b, q, None))(
             keys, cards, bgs, quads
         )
+
+    if p_lowres > 0.0:
+        # whole-crop down-up resample: the serving crop (card + bg + any
+        # occluder) all come from the same low-res frame window, so the
+        # degradation applies after compositing and photometrics. Fixed
+        # factor set keeps shapes static; per-sample select.
+        factors = (2, 3, 4, 6, 8)
+        variants = [x]
+        for f in factors:
+            small = jax.image.resize(
+                x, (batch_size, oh // f, ow // f, 3), "bilinear"
+            )
+            variants.append(
+                jax.image.resize(small, (batch_size, oh, ow, 3), "bilinear")
+            )
+        stacked = jnp.stack(variants)  # (F+1, B, H, W, 3)
+        fi = jnp.where(
+            jax.random.bernoulli(kl1, p_lowres, (batch_size,)),
+            jax.random.randint(kl2, (batch_size,), 1, len(factors) + 1),
+            0,
+        )
+        x = jnp.take_along_axis(
+            stacked, fi[None, :, None, None, None], axis=0
+        )[0]
     return x, labels, flip.astype(jnp.float32)
 
 
@@ -260,7 +292,7 @@ def train(config: RefineConfig, catalog=None, backgrounds=None) -> RefineTrainSt
                 k, card_images, bg_images, config.batch_size, config.size_hw,
                 config.sigma_min, config.sigma_max, config.shift_sigma,
                 config.p_occlude, config.p_heavy, config.heavy_sigma_max,
-                config.heavy_shift_sigma, config.label_clip,
+                config.heavy_shift_sigma, config.label_clip, config.p_lowres,
             )
             return train_step(state, x, offsets, flip, config)
 

@@ -195,3 +195,27 @@ def test_make_refine_batch_heavy_tail_clipped_labels():
     assert (np.abs(labels) > 15.0).any()
     x = np.asarray(x)
     assert np.isfinite(x).all() and x.min() >= 0.0 and x.max() <= 1.0
+
+
+def test_make_refine_batch_lowres():
+    """p_lowres=1 down-up resamples the whole crop (blurry tiny-card serving
+    appearance): labels/flips identical for the same key, pixels smoother."""
+    rng = np.random.default_rng(9)
+    cards = jnp.asarray(rng.integers(0, 255, (8, 64, 48, 3), np.uint8))
+    bgs = jnp.asarray(rng.integers(0, 255, (4, 96, 96, 3), np.uint8))
+    k = jax.random.PRNGKey(3)
+    x0, off0, fl0 = jax.jit(
+        lambda kk: make_refine_batch(kk, cards, bgs, 16, (96, 64), p_lowres=0.0)
+    )(k)
+    x1, off1, fl1 = jax.jit(
+        lambda kk: make_refine_batch(kk, cards, bgs, 16, (96, 64), p_lowres=1.0)
+    )(k)
+    assert x1.shape == x0.shape
+    assert np.allclose(np.asarray(off0), np.asarray(off1))
+    assert np.allclose(np.asarray(fl0), np.asarray(fl1))
+    x0, x1 = np.asarray(x0), np.asarray(x1)
+    assert np.isfinite(x1).all() and x1.min() >= 0.0 and x1.max() <= 1.0 + 1e-6
+    # degraded crops lose high-frequency content: mean |dx| strictly drops
+    g0 = np.abs(np.diff(x0, axis=2)).mean()
+    g1 = np.abs(np.diff(x1, axis=2)).mean()
+    assert g1 < g0 * 0.8, (g0, g1)
