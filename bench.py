@@ -19,6 +19,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# reuse cached programs across runs — remote TPU compiles cost minutes each
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+except Exception:
+    pass
+
 NORTH_STAR_FPS = 500.0
 
 
@@ -53,9 +59,17 @@ def main():
 
         # measure both program layouts and serve the faster: chained (3
         # dispatches that overlap device compute) vs fused (1 dispatch,
-        # run_fused) — which wins depends on the runtime's dispatch cost
+        # run_fused) — which wins depends on the runtime's dispatch cost.
+        # The fused mega-program can exceed remote compile-service size
+        # limits (HTTP 413 on very large HLO), so its failure must never
+        # take down the benchmark.
         fps_chained = bench_e2e()
-        fps_fused = bench_e2e(fused=True)
+        try:
+            fps_fused = bench_e2e(fused=True)
+        except Exception as e:
+            print(f"fused layout failed ({type(e).__name__}); using chained",
+                  file=sys.stderr)
+            fps_fused = 0.0
         fps = max(fps_chained, fps_fused)
         print(
             f"chained={fps_chained:.1f} fused={fps_fused:.1f} fps",
