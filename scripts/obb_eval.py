@@ -39,6 +39,8 @@ def main(argv=None):
     ap.add_argument("--det-size", default="n")
     ap.add_argument("--n-scenes", type=int, default=25)
     ap.add_argument("--n-cards", type=int, default=256)
+    ap.add_argument("--img-size", type=int, default=640,
+                    help="scene side; match the detector's train img_size")
     ap.add_argument("--iou", type=float, default=0.5)
     ap.add_argument("--score-thresh", type=float, default=0.25)
     ap.add_argument("--seed", type=int, default=0)
@@ -56,7 +58,7 @@ def main(argv=None):
     catalog = ProceduralCatalog(n_cards=args.n_cards)
     gen = SceneGenerator(
         catalog, ProceduralBackgrounds(), num_cards_min=1, num_cards_max=4,
-        seed=args.seed,
+        bg_size_hw=(args.img_size, args.img_size), seed=args.seed,
     )
     card_hw = catalog.card_hw
 
