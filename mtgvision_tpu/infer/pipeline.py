@@ -369,6 +369,15 @@ class FramePipeline:
             z = self.encoder.apply(enc_vars, flat_crops)[None].reshape(
                 1, b, self.max_det, -1
             )
+        # degenerate quads (near-collinear moment corners on garbage masks)
+        # survive to here as Inf crops → NaN embeddings → NaN cosine scores,
+        # which poison match ranking and break JSON payload serialization
+        # (json.dumps emits NaN; JS JSON.parse rejects it). Mark the slot
+        # invalid and zero the vector. Measured: 2/76 detections on the
+        # reference-distribution eval hit this.
+        zfin = jnp.all(jnp.isfinite(z), axis=(0, -1))
+        ok = ok & zfin
+        z = jnp.nan_to_num(z)
         return crops, corners, ok, z, head_flip
 
     # -- stage 3: match + orientation selection ------------------------------

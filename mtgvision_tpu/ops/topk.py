@@ -96,7 +96,9 @@ def cosine_topk(
 
     Returns (scores (B,k) f32, indices (B,k) i32).
     """
-    q = l2_normalize(queries.astype(jnp.float32))
+    # nan_to_num: a NaN/Inf query row (degenerate upstream crop) must yield
+    # finite (zero) scores, not NaN rows that poison argmax and JSON output
+    q = jnp.nan_to_num(l2_normalize(queries.astype(jnp.float32)))
     d = db if normalized else l2_normalize(db.astype(jnp.float32))
     scores = jnp.dot(
         q.astype(jnp.bfloat16),

@@ -286,3 +286,20 @@ def test_box_snap_quads():
         box_snap_quads(jnp.asarray(true_q[None]), jnp.asarray(box[None]))
     )[0]
     assert np.abs(clean - true_q).max() < 1e-3
+
+
+def test_degenerate_quad_yields_finite_scores(pipeline):
+    """A collinear/degenerate quad must not leak NaN into match scores or the
+    payload (json.dumps would emit NaN, which JS JSON.parse rejects); the
+    slot is marked invalid instead."""
+    frames = jnp.asarray(np.random.default_rng(1).random((1, 128, 128, 3), np.float32))
+    corners = jnp.zeros((1, 4, 4, 2), jnp.float32)  # all-identical points
+    corners = corners.at[0, 1].set(
+        jnp.asarray([[10.0, 10.0], [60.0, 10.0], [60.0, 90.0], [10.0, 90.0]])
+    )
+    ok = jnp.ones((1, 4), bool)
+    out = pipeline.run_corners(frames, corners, ok)
+    assert np.isfinite(np.asarray(out["match_scores"])).all()
+    assert np.isfinite(np.asarray(out["z"])).all()
+    # the healthy slot survives; at least the degenerate ones may be dropped
+    assert bool(out["valid"][0, 1])
