@@ -70,9 +70,17 @@ def main():
             print(f"fused layout failed ({type(e).__name__}); using chained",
                   file=sys.stderr)
             fps_fused = 0.0
-        fps = max(fps_chained, fps_fused)
+        # throughput also depends on batch: 16 amortizes dispatch + decode
+        # overheads further; serve whichever config is fastest per frame
+        try:
+            fps_b16 = bench_e2e(batch=16)
+        except Exception as e:
+            print(f"batch-16 failed ({type(e).__name__})", file=sys.stderr)
+            fps_b16 = 0.0
+        fps = max(fps_chained, fps_fused, fps_b16)
         print(
-            f"chained={fps_chained:.1f} fused={fps_fused:.1f} fps",
+            f"chained={fps_chained:.1f} fused={fps_fused:.1f} "
+            f"b16={fps_b16:.1f} fps",
             file=sys.stderr,
         )
         print(json.dumps({
