@@ -171,14 +171,6 @@ def place_card(
     frame = np.asarray([(0, 0), (bw, 0), (bw, bh), (0, bh)], np.float64)
 
     for _ in range(max_attempts):
-        pad = int(diag // 2)
-        ovr = int(diag * (1 - min_visible_edge))
-        lo_x, hi_x = pad - ovr, bw - pad + ovr
-        lo_y, hi_y = pad - ovr, bh - pad + ovr
-        if hi_x <= lo_x or hi_y <= lo_y:
-            continue
-        cx = rng.integers(lo_x, hi_x)
-        cy = rng.integers(lo_y, hi_y)
         deg = rng.uniform(0, 360)
         min_area, max_area = bh * bw * min_area_ratio, bh * bw * max_area_ratio
         if size_sample_mode == "log_uniform":
@@ -186,6 +178,23 @@ def place_card(
         else:
             area = rng.uniform(min_area, max_area)
         scale = area / (ch * cw)
+        # center-proposal bounds from the SCALED card footprint (+ jitter
+        # slack). The reference (od_datasets.py:321) pads by the NATIVE card
+        # diagonal — with large native card images that confines centers to
+        # the middle of the frame (448x320 cards at 640: a 90x90 box) and
+        # cannot place at all once the native diagonal exceeds the frame
+        # (every 320px scene trained with zero cards). The exact visibility
+        # test below is the authority either way; this only fixes the
+        # proposal distribution.
+        sdiag = diag * scale * (1.0 + jitter_ratio)
+        pad = int(sdiag // 2)
+        ovr = int(sdiag * (1 - min_visible_edge))
+        lo_x, hi_x = pad - ovr, bw - pad + ovr
+        lo_y, hi_y = pad - ovr, bh - pad + ovr
+        if hi_x <= lo_x or hi_y <= lo_y:
+            continue
+        cx = rng.integers(lo_x, hi_x)
+        cy = rng.integers(lo_y, hi_y)
 
         src = card_bbox(card_hw)
         dst = corner_jitter(rng, src.copy(), jitter_ratio)

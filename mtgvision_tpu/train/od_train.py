@@ -403,6 +403,9 @@ class ScenePoolDataset:
         cfg = self.cfg
         cat = self.base.catalog
         parts = (
+            # placement-algorithm version: bump when place_card's proposal/
+            # rejection behavior changes (v2 = scaled-diagonal center pad)
+            "place-v2",
             n_scenes, cfg.img_size, cfg.kind, cfg.seed, cfg.batch_size,
             cfg.pool_size, cfg.bg_pool_size, type(cat).__name__,
             tuple(cat.card_hw), len(cat),

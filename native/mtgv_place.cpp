@@ -191,13 +191,6 @@ int mtgv_place_card(
   const P src[4] = {{0, 0}, {card_w, 0}, {card_w, card_h}, {0, card_h}};
 
   for (int att = 0; att < max_attempts; ++att) {
-    const long pad = long(diag / 2);
-    const long ovr = long(diag * (1.0 - min_visible_edge));
-    const long lo_x = pad - ovr, hi_x = long(bg_w) - pad + ovr;
-    const long lo_y = pad - ovr, hi_y = long(bg_h) - pad + ovr;
-    if (hi_x <= lo_x || hi_y <= lo_y) continue;
-    const double cx = double(rng.randint(lo_x, hi_x));
-    const double cy = double(rng.randint(lo_y, hi_y));
     const double deg = rng.uniform(0, 360);
     const double min_area = bg_h * bg_w * min_area_ratio;
     const double max_area = bg_h * bg_w * max_area_ratio;
@@ -205,6 +198,19 @@ int mtgv_place_card(
         ? std::exp(rng.uniform(std::log(min_area), std::log(max_area)))
         : rng.uniform(min_area, max_area);
     const double scale = area / (card_h * card_w);
+    // center-proposal bounds from the SCALED card footprint (+ jitter
+    // slack); the exact visibility test below is the authority. The
+    // reference pads by the NATIVE diagonal (od_datasets.py:321), which
+    // confines centers to the frame middle for large native cards and
+    // cannot place at all once the native diagonal exceeds the frame.
+    const double sdiag = diag * scale * (1.0 + jitter_ratio);
+    const long pad = long(sdiag / 2);
+    const long ovr = long(sdiag * (1.0 - min_visible_edge));
+    const long lo_x = pad - ovr, hi_x = long(bg_w) - pad + ovr;
+    const long lo_y = pad - ovr, hi_y = long(bg_h) - pad + ovr;
+    if (hi_x <= lo_x || hi_y <= lo_y) continue;
+    const double cx = double(rng.randint(lo_x, hi_x));
+    const double cy = double(rng.randint(lo_y, hi_y));
 
     // radial corner jitter about the rect center (od_datasets.py:29-48)
     P dst[4];

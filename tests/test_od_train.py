@@ -155,6 +155,10 @@ def test_obb_kind_training():
     valid = np.asarray(b["gt_valid"])
     labels = np.asarray(b["gt_labels"])
     boxes = np.asarray(b["gt_boxes"])
+    # the batch must contain real placements — an all-invalid batch trains
+    # the detector to predict nothing (the pre-fix scaled-pad bug did
+    # exactly that at img sizes below the native card diagonal)
+    assert valid.any()
     for bi in range(2):
         vs = np.where(valid[bi])[0]
         if len(vs):

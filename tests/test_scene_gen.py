@@ -273,3 +273,29 @@ def test_mask_contour_max_pts():
     big[10:118, 12:116] = 1.0
     pts = mask_contour(big, max_pts=16)
     assert len(pts) <= 16
+
+
+def test_place_card_small_frame_and_edge_coverage():
+    """Placement must work when the frame is smaller than the NATIVE card
+    (the proposal pad uses the scaled footprint) and card centers must cover
+    the frame, not just its middle — both native and python samplers."""
+    import numpy as np
+
+    from mtgvision_tpu.data.scene_gen import apply_m, card_bbox, place_card
+
+    chw = (448, 320)  # native card larger than the 320px frame
+    for use_native in (True, False):
+        rng = np.random.default_rng(3)
+        centers = []
+        n_ok = 0
+        for _ in range(100):
+            m = place_card(rng, chw, (320, 320), [], use_native=use_native)
+            if m is None:
+                continue
+            n_ok += 1
+            centers.append(apply_m(card_bbox(chw), m).mean(0))
+        assert n_ok >= 90, n_ok
+        c = np.asarray(centers)
+        # centers span well beyond a central box
+        assert c[:, 0].min() < 100 and c[:, 0].max() > 220
+        assert c[:, 1].min() < 100 and c[:, 1].max() > 220
