@@ -196,26 +196,27 @@ def make_refine_batch(key, card_pool_u8, bg_pool_u8, batch_size, size_hw,
     if p_lowres > 0.0:
         # whole-crop down-up resample: the serving crop (card + bg + any
         # occluder) all come from the same low-res frame window, so the
-        # degradation applies after compositing and photometrics. Fixed
-        # factor set keeps shapes static; per-sample select.
-        factors = (2, 3, 4, 6, 8)
-        variants = [x]
-        for f in factors:
-            small = jax.image.resize(
-                x, (batch_size, oh // f, ow // f, 3), "bilinear"
-            )
-            variants.append(
-                jax.image.resize(small, (batch_size, oh, ow, 3), "bilinear")
-            )
-        stacked = jnp.stack(variants)  # (F+1, B, H, W, 3)
-        fi = jnp.where(
-            jax.random.bernoulli(kl1, p_lowres, (batch_size,)),
-            jax.random.randint(kl2, (batch_size,), 1, len(factors) + 1),
-            0,
-        )
-        x = jnp.take_along_axis(
-            stacked, fi[None, :, None, None, None], axis=0
-        )[0]
+        # degradation applies after compositing and photometrics. STATIC
+        # batch slices per factor — samples are iid, so fixed slots are a
+        # free randomization; a per-sample gather over an (F+1,B,H,W,3)
+        # stack measured ~5x slower per train step on CPU. kl1/kl2 stay
+        # reserved to keep the key-split layout stable.
+        del kl1, kl2
+        factors = (2, 4, 6, 8)
+        per = int(round(batch_size * p_lowres)) // len(factors)
+        if per:
+            s = batch_size - per * len(factors)
+            parts = [x[:s]]
+            for f in factors:
+                seg = x[s:s + per]
+                small = jax.image.resize(
+                    seg, (per, oh // f, ow // f, 3), "bilinear"
+                )
+                parts.append(
+                    jax.image.resize(small, (per, oh, ow, 3), "bilinear")
+                )
+                s += per
+            x = jnp.concatenate(parts)
     return x, labels, flip.astype(jnp.float32)
 
 
