@@ -44,7 +44,36 @@ def _bench_chained(fn, x0, warmup=3, iters=20) -> float:
     return (time.perf_counter() - t0) / iters
 
 
+def _probe_devices(timeout_s: float = 600.0) -> None:
+    """Fail fast if the device backend is unreachable.
+
+    ``jax.devices()`` on a dead remote-TPU tunnel hangs forever (observed:
+    >300 s with no progress). Probing in a subprocess with a hard timeout
+    turns an indefinite hang into a quick, clearly-reported failure so the
+    caller's own timeout budget isn't silently consumed.
+    """
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"bench: device probe hung >{timeout_s:.0f}s "
+              "(backend tunnel down?); aborting", file=sys.stderr)
+        raise SystemExit(3)
+    if r.returncode != 0:
+        print("bench: device probe failed:\n" + (r.stderr or "")[-2000:],
+              file=sys.stderr)
+        raise SystemExit(3)
+    print(f"bench: backend ok ({r.stdout.strip()})", file=sys.stderr)
+
+
 def main():
+    _probe_devices()
     try:
         from mtgvision_tpu.infer.pipeline import build_e2e_pipeline  # noqa
 
