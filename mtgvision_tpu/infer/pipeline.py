@@ -112,6 +112,12 @@ class FramePipeline:
         # front end recovers oriented quads analytically (infer/obb.py) and
         # shares the whole dewarp→refine→embed→match tail
         det_kind: str = "seg",
+        # program layout served by __call__: "3prog" (detect / rectify+embed /
+        # match as separate dispatches whose RTTs overlap across concurrent
+        # streams), "2prog" (rectify+embed+match fused — one fewer RTT), or
+        # "fused" (single mega-program; can exceed remote compile-service
+        # size limits). bench.py measures all and reports the fastest.
+        layout: str = "3prog",
         # snap moment-quad scale/center to the detector's box before
         # refinement. Hypothesis was the box is amodal and restores occluded
         # extent; MEASURED NEGATIVE on the multicard-occlusion protocol
@@ -163,6 +169,7 @@ class FramePipeline:
         self.dewarp_impl = dewarp_impl
         self.det_kind = det_kind
         self.box_snap = box_snap
+        self.layout = layout
         # obb needs 3 raw detections (card/top/bottom) per card slot
         self._det_slots = max_det * 3 if det_kind == "obb" else max_det
         self._detect = jax.jit(self._detect_stage)
@@ -172,6 +179,7 @@ class FramePipeline:
         # corner-misregistration error (eval/e2e_eval.evaluate_oracle)
         self._embed_corners = jax.jit(self._embed_from_corners)
         self._fused = None  # lazily-jitted single-program variant (run_fused)
+        self._re_match = None  # lazily-jitted rectify+embed+match (run_2prog)
         self._rectify_embed_obb = jax.jit(self._rectify_embed_obb_stage)
         self._match = jax.jit(functools.partial(cosine_topk, k=top_k))
         # match + orientation selection as ONE program: the selection ops
@@ -449,6 +457,11 @@ class FramePipeline:
     def __call__(self, frames: jnp.ndarray) -> dict:
         """frames (B,H,W,3) float [0,1] → padded detection dict (device arrays)."""
         mat = self.store._matrix() if (self.store is not None and len(self.store)) else None
+        if mat is not None and self.det_kind == "seg":
+            if self.layout == "2prog":
+                return self.run_2prog(frames, mat)
+            if self.layout == "fused":
+                return self.run_fused(frames, mat)
         return self.run(frames, mat)
 
     def run_fused(self, frames, index_mat):
@@ -493,6 +506,46 @@ class FramePipeline:
 
             self._fused = jax.jit(fused)
         return self._fused(self.det_variables, self.enc_variables, frames, index_mat)
+
+    def run_2prog(self, frames, index_mat):
+        """Two-program layout: detect stays its own dispatch (its HLO is the
+        big one — fusing it in is what trips remote compile-service size
+        limits, see run_fused), while orient→rectify→embed→match traces into
+        ONE program. Per frame batch: 2 host round-trips instead of 3. The
+        device work is identical to run(); only dispatch count changes, so on
+        remote-dispatch runtimes this trades ~one RTT for a slightly larger
+        (but still detect-free) program. Requires a store matrix. Seg kind
+        only (the obb front end keeps the 3-program run() path)."""
+        if self.det_kind != "seg":
+            raise ValueError("run_2prog supports det_kind='seg' only")
+        if self._re_match is None:
+            def re_match(enc_vars, frames_, masks, valid, boxes, mat):
+                crops, corners, ok, z, head_flip = self._rectify_embed_stage(
+                    enc_vars, frames_, masks, valid, boxes
+                )
+                ms, mi, corners, m_flip, z_sel = self._match_select_stage(
+                    z, corners, mat
+                )
+                return crops, corners, ok, z_sel, head_flip ^ m_flip, ms, mi
+
+            self._re_match = jax.jit(re_match)
+        boxes, scores, classes, masks, valid = self._detect(self.det_variables, frames)
+        crops, corners, ok, z_sel, flipped, ms, mi = self._re_match(
+            self.enc_variables, frames, masks, valid, boxes, index_mat
+        )
+        return {
+            "boxes": boxes,
+            "det_scores": scores,
+            "classes": classes,
+            "masks": masks,
+            "corners": corners,
+            "valid": ok,
+            "crops": crops,
+            "z": z_sel,
+            "flipped": flipped,
+            "match_scores": ms,
+            "match_idx": mi,
+        }
 
     def run_corners(self, frames, corners, ok, index_mat=None):
         """Diagnostic entry: embed + match from GIVEN frame-space corners
@@ -572,6 +625,7 @@ def build_e2e_pipeline(
     max_det: int = 8,
     seed: int = 0,
     fused: bool = False,
+    layout: str | None = None,  # "3prog" | "2prog" | "fused" (overrides fused)
 ):
     """Random-weight pipeline at deployment sizes (YOLO11-s + ConvNeXtV2 nano,
     od_train.py:138-151 / encoder_export.py:23-26) for throughput benchmarks."""
@@ -602,41 +656,55 @@ def build_e2e_pipeline(
     db = jax.random.normal(jax.random.PRNGKey(1), (n_index, 768), jnp.float32)
     db = db / jnp.linalg.norm(db, axis=1, keepdims=True)
 
+    if layout is None:
+        layout = "fused" if fused else "3prog"
+    runner = {
+        "3prog": pipe.run,
+        "2prog": pipe.run_2prog,
+        "fused": pipe.run_fused,
+    }[layout]
+
     def run(frames):
-        out = pipe.run_fused(frames, db) if fused else pipe.run(frames, db)
+        out = runner(frames, db)
         return out["match_idx"], out["valid"]
 
     frames = jax.random.uniform(jax.random.PRNGKey(2), (batch, *frame_hw, 3))
     return run, frames
 
 
-def bench_e2e(batch: int = 8, iters: int = 20, fused: bool = False) -> float:
+def bench_e2e(
+    batch: int = 8,
+    iters: int = 20,
+    fused: bool = False,
+    layout: str | None = None,
+    chains: int = 2,
+) -> float:
     """Frames/s/chip for the full detect→orient→rectify→embed→match program.
 
-    Methodology: TWO independent data chains (each iteration's frame input
-    depends on that chain's previous match output), interleaved, ending in a
-    value fetch on both. Within a chain, execution is fully serialized — async
-    dispatch can't hide compute. Across the two chains, host dispatch overlaps
-    device compute, which is exactly what a real server does with two
-    concurrent client streams; the device still has to execute every program.
-    Measured r2 (v5e-1, quiet): 1-chain 341.9 fps, 2-chain 352.5 fps — the
-    delta is the honest dispatch-overlap gain, not an artifact.
+    Methodology: ``chains`` independent data chains (each iteration's frame
+    input depends on that chain's previous match output), interleaved, ending
+    in a value fetch on every chain. Within a chain, execution is fully
+    serialized — async dispatch can't hide compute. Across chains, host
+    dispatch overlaps device compute, which is exactly what a real server does
+    with concurrent client streams; the device still has to execute every
+    program. Measured r2 (v5e-1, quiet): 1-chain 341.9 fps, 2-chain 352.5 fps
+    — the delta is the honest dispatch-overlap gain, not an artifact. Deeper
+    interleave raises the ceiling toward the device-compute bound (~12.5 ms
+    per 8 frames ≈ 640 fps) by hiding more of the ~5 ms/program dispatch RTT.
     """
-    run, frames = build_e2e_pipeline(batch=batch, fused=fused)
+    run, frames = build_e2e_pipeline(batch=batch, fused=fused, layout=layout)
 
     def step(c):
         idx, valid = run(frames + c)
         return 0.0 * idx[0, 0, 0].astype(jnp.float32)
 
-    c1 = jnp.zeros((), jnp.float32)
-    c2 = jnp.ones((), jnp.float32) * 1e-6
-    c1, c2 = step(c1), step(c2)
-    float(c1), float(c2)  # compile + hard execution barrier (value fetch)
+    cs = [jnp.full((), i * 1e-6, jnp.float32) for i in range(max(1, chains))]
+    cs = [step(c) for c in cs]
+    [float(c) for c in cs]  # compile + hard execution barrier (value fetch)
     t0 = time.perf_counter()
     for _ in range(iters):
-        c1 = step(c1)
-        c2 = step(c2)
-    float(c1), float(c2)  # value fetch: block_until_ready alone can resolve
+        cs = [step(c) for c in cs]
+    [float(c) for c in cs]  # value fetch: block_until_ready alone can resolve
     # early on remote-dispatch runtimes, reporting impossible times
-    dt = (time.perf_counter() - t0) / (2 * iters)
+    dt = (time.perf_counter() - t0) / (len(cs) * iters)
     return batch / dt

@@ -227,6 +227,7 @@ def build_pipeline(
     refine_head_ckpt: str | None = None,
     refine_redewarp: bool = False,
     refine_iters: int = 1,
+    layout: str = "3prog",
 ):
     """FramePipeline from checkpoints (trained serving) or random weights
     (smoke runs). Checkpoint dirs accept slim exports or train ckpt dirs
@@ -286,6 +287,7 @@ def build_pipeline(
         orient_head=head, orient_head_vars=head_vars,
         refine_head=rhead, refine_head_vars=rhead_vars,
         refine_redewarp=refine_redewarp, refine_iters=refine_iters,
+        layout=layout,
     )
 
 
@@ -315,6 +317,10 @@ def main(argv=None):
                     "(helps occluded cards; ~+7 ms / 64 crops)")
     ap.add_argument("--refine-iters", type=int, default=1,
                     help="refine head passes (>1 needs --refine-redewarp y)")
+    ap.add_argument("--layout", default="3prog",
+                    choices=("3prog", "2prog", "fused"),
+                    help="frame program layout (see FramePipeline.layout); "
+                    "bench.py reports which is fastest on the deployment")
     args = ap.parse_args(argv)
 
     store = None
@@ -328,6 +334,7 @@ def main(argv=None):
         refine_head_ckpt=args.refine_head,
         refine_redewarp=args.refine_redewarp == "y",
         refine_iters=args.refine_iters,
+        layout=args.layout,
     )
     app = make_app(lambda: TrackerCtx(pipe), pathlib.Path(args.static_dir))
     web.run_app(app, host=args.host, port=args.port)

@@ -65,6 +65,12 @@ def test_bench_harness_builds():
     )
     idx_f, _ = run_f(frames_f)
     assert idx_f.shape == (1, 2, 3)
+    run_2, frames_2 = build_e2e_pipeline(
+        batch=1, frame_hw=(128, 128), n_index=100, det_size="n",
+        enc_size="atto", max_det=2, layout="2prog",
+    )
+    idx_2, _ = run_2(frames_2)
+    assert idx_2.shape == (1, 2, 3)
 
 
 def test_e2e_eval_harness():
@@ -201,6 +207,28 @@ def test_run_fused_matches_chained(pipeline):
     mat = pipeline.store._matrix()
     a = pipeline.run(frames, mat)
     b = pipeline.run_fused(frames, mat)
+    assert set(b) == set(a)
+    np.testing.assert_array_equal(np.asarray(a["valid"]), np.asarray(b["valid"]))
+    np.testing.assert_allclose(
+        np.asarray(a["corners"]), np.asarray(b["corners"]), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(a["match_scores"]), np.asarray(b["match_scores"]), atol=1e-3
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a["match_idx"]), np.asarray(b["match_idx"])
+    )
+
+
+def test_run_2prog_matches_chained(pipeline):
+    """run_2prog (detect + one rectify/embed/match program) must agree with
+    the 3-program chained path on every output that run() produces."""
+    frames = jnp.asarray(
+        np.random.default_rng(3).random((2, 128, 128, 3), np.float32)
+    )
+    mat = pipeline.store._matrix()
+    a = pipeline.run(frames, mat)
+    b = pipeline.run_2prog(frames, mat)
     assert set(b) == set(a)
     np.testing.assert_array_equal(np.asarray(a["valid"]), np.asarray(b["valid"]))
     np.testing.assert_allclose(
