@@ -299,3 +299,33 @@ def test_place_card_small_frame_and_edge_coverage():
         # centers span well beyond a central box
         assert c[:, 0].min() < 100 and c[:, 0].max() > 220
         assert c[:, 1].min() < 100 and c[:, 1].max() > 220
+
+
+def test_place_card_native_small_frame_and_edge_coverage():
+    """Regression for a stale native build: the pre-fix C++ sampler padded
+    proposals by the NATIVE card diagonal, which places nothing at 320px
+    frames and confines centers to a central box at 640px. The fixed sampler
+    must place at small frame sizes and reach the frame edges."""
+    from mtgvision_tpu.utils import native
+
+    native._load()
+    if not native.HAVE_NATIVE:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(3)
+    n_ok = sum(
+        place_card(rng, (448, 320), (320, 320), [], use_native=True) is not None
+        for _ in range(50)
+    )
+    assert n_ok >= 25, f"native sampler placed only {n_ok}/50 at 320px"
+
+    centers = []
+    for _ in range(200):
+        m = place_card(rng, (448, 320), (640, 640), [], use_native=True)
+        if m is not None:
+            centers.append(apply_m(card_bbox((448, 320)), m).mean(0))
+    centers = np.asarray(centers)
+    # pre-fix behavior: every center inside a ~90px-wide central box
+    assert centers.min() < 200 and centers.max() > 440, (
+        centers.min(),
+        centers.max(),
+    )
