@@ -75,8 +75,16 @@ def main(argv=None):
     agg = {c: dict(gt=0, hit=0, iou=0.0) for c in names}
     quad_errs: list[float] = []
     n_quads = 0
-    for _ in range(args.n_scenes):
+    scenes_done = 0
+    for _ in range(args.n_scenes * 4):
+        if scenes_done >= args.n_scenes:
+            break
         s, gt = _scene_with_gt(gen)
+        if not gt:
+            # rejection placement can fail every attempt (small img_size),
+            # leaving a pure-background scene — nothing to score
+            continue
+        scenes_done += 1
         h = s.shape[0]
         ms = jnp.asarray(np.stack([m for _, m in gt]))[None]
         val = jnp.ones((1, ms.shape[1]), jnp.float32)
@@ -137,9 +145,9 @@ def main(argv=None):
         float(np.mean(quad_errs)) if quad_errs else float("nan"), 2
     )
     for c, a in agg.items():
-        rec[f"{c}_recall"] = round(a["hit"] / max(a["gt"], 1), 4)
-        rec[f"{c}_mean_iou"] = round(a["iou"] / max(a["hit"], 1), 4)
-        rec[f"{c}_n_gt"] = a["gt"]
+        rec[f"{c}_recall"] = round(float(a["hit"]) / max(a["gt"], 1), 4)
+        rec[f"{c}_mean_iou"] = round(float(a["iou"]) / max(a["hit"], 1), 4)
+        rec[f"{c}_n_gt"] = int(a["gt"])
     print(json.dumps(rec), flush=True)
     if args.json_out:
         pathlib.Path(args.json_out).write_text(json.dumps(rec, indent=1))
