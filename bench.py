@@ -101,7 +101,7 @@ def main():
             ("3prog_c2", {}),
             ("3prog_c4", {"chains": 4}),
             ("2prog_c4", {"layout": "2prog", "chains": 4}),
-            ("fused_c2", {"fused": True}),
+            ("fused_c2", {"layout": "fused"}),
             ("b16_c2", {"batch": 16}),
         ]:
             try:
@@ -111,6 +111,11 @@ def main():
                       file=sys.stderr)
                 results[name] = 0.0
         fps = max(results.values())
+        if fps <= 0.0:
+            # every config failed — that's a benchmark failure, not a
+            # measurement of 0 fps; don't emit a valid-looking JSON line
+            print("all bench configs failed", file=sys.stderr)
+            sys.exit(1)
         print(
             " ".join(f"{k}={v:.1f}" for k, v in results.items()) + " fps",
             file=sys.stderr,

@@ -169,7 +169,10 @@ class FramePipeline:
         self.dewarp_impl = dewarp_impl
         self.det_kind = det_kind
         self.box_snap = box_snap
+        if layout not in ("3prog", "2prog", "fused"):
+            raise ValueError(f"unknown layout {layout!r}")
         self.layout = layout
+        self._layout_warned = False
         # obb needs 3 raw detections (card/top/bottom) per card slot
         self._det_slots = max_det * 3 if det_kind == "obb" else max_det
         self._detect = jax.jit(self._detect_stage)
@@ -462,6 +465,15 @@ class FramePipeline:
                 return self.run_2prog(frames, mat)
             if self.layout == "fused":
                 return self.run_fused(frames, mat)
+        elif self.layout != "3prog" and not self._layout_warned:
+            self._layout_warned = True
+            import warnings
+
+            warnings.warn(
+                f"layout={self.layout!r} needs a populated store and "
+                f"det_kind='seg'; serving the 3-program path instead",
+                stacklevel=2,
+            )
         return self.run(frames, mat)
 
     def run_fused(self, frames, index_mat):
@@ -470,7 +482,7 @@ class FramePipeline:
         three. The chained path's dispatches already overlap device compute
         on remote runtimes (run()'s stages), so the win is bounded by the
         per-dispatch round-trip (~5 ms on tunneled TPUs) minus what overlap
-        already hides — measure both (bench_e2e(fused=…)) before switching a
+        already hides — measure both (bench_e2e(layout=…)) before switching a
         deployment. Requires a store matrix (match runs inside the program).
         """
         if self._fused is None:
@@ -624,8 +636,7 @@ def build_e2e_pipeline(
     enc_size: str = "nano",
     max_det: int = 8,
     seed: int = 0,
-    fused: bool = False,
-    layout: str | None = None,  # "3prog" | "2prog" | "fused" (overrides fused)
+    layout: str = "3prog",  # "3prog" | "2prog" | "fused"
 ):
     """Random-weight pipeline at deployment sizes (YOLO11-s + ConvNeXtV2 nano,
     od_train.py:138-151 / encoder_export.py:23-26) for throughput benchmarks."""
@@ -656,8 +667,6 @@ def build_e2e_pipeline(
     db = jax.random.normal(jax.random.PRNGKey(1), (n_index, 768), jnp.float32)
     db = db / jnp.linalg.norm(db, axis=1, keepdims=True)
 
-    if layout is None:
-        layout = "fused" if fused else "3prog"
     runner = {
         "3prog": pipe.run,
         "2prog": pipe.run_2prog,
@@ -672,11 +681,14 @@ def build_e2e_pipeline(
     return run, frames
 
 
+# bench_e2e memo: (batch, layout) → (run, frames); see its docstring
+_BENCH_PIPES: dict = {}
+
+
 def bench_e2e(
     batch: int = 8,
     iters: int = 20,
-    fused: bool = False,
-    layout: str | None = None,
+    layout: str = "3prog",
     chains: int = 2,
 ) -> float:
     """Frames/s/chip for the full detect→orient→rectify→embed→match program.
@@ -691,8 +703,15 @@ def bench_e2e(
     — the delta is the honest dispatch-overlap gain, not an artifact. Deeper
     interleave raises the ceiling toward the device-compute bound (~12.5 ms
     per 8 frames ≈ 640 fps) by hiding more of the ~5 ms/program dispatch RTT.
+
+    The built pipeline is memoized per (batch, layout): sweeping chain depths
+    over the same layout (bench.py) reuses the compiled programs instead of
+    paying pipeline init + trace + warmup again per config.
     """
-    run, frames = build_e2e_pipeline(batch=batch, fused=fused, layout=layout)
+    key = (batch, layout)
+    if key not in _BENCH_PIPES:
+        _BENCH_PIPES[key] = build_e2e_pipeline(batch=batch, layout=layout)
+    run, frames = _BENCH_PIPES[key]
 
     def step(c):
         idx, valid = run(frames + c)

@@ -203,19 +203,25 @@ def make_refine_batch(key, card_pool_u8, bg_pool_u8, batch_size, size_hw,
         # reserved to keep the key-split layout stable.
         del kl1, kl2
         factors = (2, 4, 6, 8)
-        per = int(round(batch_size * p_lowres)) // len(factors)
-        if per:
-            s = batch_size - per * len(factors)
+        n_low = int(round(batch_size * p_lowres))
+        if n_low:
+            # distribute the lowres budget across factors without flooring
+            # to zero (B=16, p=0.2 must still degrade ~3 samples, not 0)
+            base, rem = divmod(n_low, len(factors))
+            counts = [base + (1 if i < rem else 0) for i in range(len(factors))]
+            s = batch_size - n_low
             parts = [x[:s]]
-            for f in factors:
-                seg = x[s:s + per]
+            for f, c in zip(factors, counts):
+                if not c:
+                    continue
+                seg = x[s:s + c]
                 small = jax.image.resize(
-                    seg, (per, oh // f, ow // f, 3), "bilinear"
+                    seg, (c, oh // f, ow // f, 3), "bilinear"
                 )
                 parts.append(
-                    jax.image.resize(small, (per, oh, ow, 3), "bilinear")
+                    jax.image.resize(small, (c, oh, ow, 3), "bilinear")
                 )
-                s += per
+                s += c
             x = jnp.concatenate(parts)
     return x, labels, flip.astype(jnp.float32)
 

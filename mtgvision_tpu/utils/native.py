@@ -32,11 +32,18 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None:
         return _lib
     try:
+        # ALWAYS invoke make, not just when the .so is missing: make is
+        # mtime-based, so this is a no-op when the binary is fresh and a
+        # rebuild when any .cpp changed after the checked-in binary was
+        # built (a stale committed .so once shipped the pre-fix placement
+        # sampler for a day of runs). If make is unavailable but a binary
+        # exists, fall through and load it.
+        subprocess.run(
+            ["make", "-s", "build/libmtgv_native.so"],
+            cwd=_NATIVE_DIR, check=False, capture_output=True,
+        )
         if not _SO.exists():
-            subprocess.run(
-                ["make", "-s", "build/libmtgv_native.so"],
-                cwd=_NATIVE_DIR, check=True, capture_output=True,
-            )
+            raise FileNotFoundError(_SO)
         lib = ctypes.CDLL(str(_SO))
         lib.mtgv_decode_jpeg.restype = ctypes.c_int
         lib.mtgv_decode_jpeg_resize.restype = ctypes.c_int

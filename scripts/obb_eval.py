@@ -140,6 +140,13 @@ def main(argv=None):
             quad_errs.append(float(np.linalg.norm(rec_c[i] - q, axis=-1).mean()))
 
     rec = {"det": args.det, "iou_thresh": args.iou}
+    rec["n_scenes_scored"] = scenes_done
+    if scenes_done < args.n_scenes:
+        print(
+            f"warning: only {scenes_done}/{args.n_scenes} scenes had "
+            "placeable cards; metrics cover those scenes only",
+            file=sys.stderr,
+        )
     rec["quad_recall"] = round(len(quad_errs) / max(n_quads, 1), 4)
     rec["quad_err_px"] = round(
         float(np.mean(quad_errs)) if quad_errs else float("nan"), 2

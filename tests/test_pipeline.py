@@ -61,7 +61,7 @@ def test_bench_harness_builds():
     assert idx.shape == (1, 2, 3)
     run_f, frames_f = build_e2e_pipeline(
         batch=1, frame_hw=(128, 128), n_index=100, det_size="n",
-        enc_size="atto", max_det=2, fused=True,
+        enc_size="atto", max_det=2, layout="fused",
     )
     idx_f, _ = run_f(frames_f)
     assert idx_f.shape == (1, 2, 3)

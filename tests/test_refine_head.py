@@ -219,3 +219,22 @@ def test_make_refine_batch_lowres():
     g0 = np.abs(np.diff(x0, axis=2)).mean()
     g1 = np.abs(np.diff(x1, axis=2)).mean()
     assert g1 < g0 * 0.8, (g0, g1)
+
+
+def test_make_refine_batch_lowres_small_budget():
+    """Regression: round(B*p) below the number of factors must still degrade
+    ~B*p samples (the old per-factor floor silently disabled the mixture)."""
+    rng = np.random.default_rng(11)
+    cards = jnp.asarray(rng.integers(0, 255, (8, 64, 48, 3), np.uint8))
+    bgs = jnp.asarray(rng.integers(0, 255, (4, 96, 96, 3), np.uint8))
+    k = jax.random.PRNGKey(5)
+    x0, _, _ = jax.jit(
+        lambda kk: make_refine_batch(kk, cards, bgs, 16, (96, 64), p_lowres=0.0)
+    )(k)
+    x1, _, _ = jax.jit(
+        lambda kk: make_refine_batch(kk, cards, bgs, 16, (96, 64), p_lowres=0.2)
+    )(k)
+    changed = (
+        np.abs(np.asarray(x1) - np.asarray(x0)).reshape(16, -1).max(1) > 1e-4
+    )
+    assert changed.sum() == 3, changed.sum()  # round(16*0.2) = 3 samples
