@@ -379,8 +379,13 @@ class SceneGenerator:
         self.key, sub = jax.random.split(self.key)
         return sub
 
-    def random(self) -> dict:
-        """One scene: {image (H,W,3) f32, keypoints [(Ni,2)…], keypoints_labels}."""
+    def random(self, return_cards: bool = False) -> dict:
+        """One scene: {image (H,W,3) f32, keypoints [(Ni,2)…], keypoints_labels}.
+
+        ``return_cards=True`` adds ``"cards"``: the placed [(card, M), …]
+        pairs — the GT hook used by eval (eval/e2e_eval._scene_with_gt), kept
+        inside random() so eval scenes consume the exact same RNG stream and
+        placement logic as training scenes."""
         card_hw = self.catalog.card_hw
         bg_hw = self.bg_size_hw
         n_cards = (
@@ -390,7 +395,7 @@ class SceneGenerator:
         )
 
         # host: placement
-        ms, polys, cards_np = [], [], []
+        ms, polys, cards_np, card_objs = [], [], [], []
         for _ in range(n_cards):
             m = place_card(
                 self.rng,
@@ -405,6 +410,7 @@ class SceneGenerator:
                 continue
             card = self.catalog.ran_card(self.rng)
             cards_np.append(self.catalog.get_image(card))
+            card_objs.append(card)
             ms.append(m)
             polys.append(apply_m(card_bbox(card_hw), m))
 
@@ -442,11 +448,14 @@ class SceneGenerator:
             for ci, pts in enumerate(base):
                 kps.append(apply_m(pts, m).astype(np.float32))
                 kls.append(ci)
-        return {
+        out = {
             "image": np.asarray(img),
             "keypoints": kps,
             "keypoints_labels": np.asarray(kls, np.int64),
         }
+        if return_cards:
+            out["cards"] = list(zip(card_objs, ms))
+        return out
 
 
 def create_yolo_dataset(

@@ -106,13 +106,11 @@ def evaluate_e2e(
     catastrophic, and this is how we find out WHICH detections fail."""
     import jax.numpy as jnp
 
-    from mtgvision_tpu.ops.polygon import poly_area, poly_intersection_area
+    from mtgvision_tpu.ops.polygon import poly_area
 
     stats = E2EStats()
     card_hw = gen.catalog.card_hw
     for _ in range(n_scenes):
-        # reach into the generator for GT: replicate SceneGenerator.random()
-        # but keep (card, M) pairs
         s, gt = _scene_with_gt(gen)
         out = pipeline(jnp.asarray(s)[None])
         valid = np.asarray(out["valid"][0])
@@ -123,34 +121,40 @@ def evaluate_e2e(
         # scene_gen.compose_scene): card i is occluded by quads j < i
         quads = [apply_m(card_bbox(card_hw), m) for _, m in gt]
         det_centroids = corners.mean(1)  # (D, 2)
+        # globally nearest-pair assignment: sort all (GT, detection) pairs
+        # under match_dist by distance and take them greedily, so a detection
+        # goes to its closest GT card — per-GT greed in placement order could
+        # let an earlier GT steal the detection belonging to a later, closer
+        # one and misattribute both scores
+        pairs = []
+        for gi in range(len(gt)):
+            c = quads[gi].mean(0)
+            for d in np.where(valid)[0]:
+                dist = float(np.linalg.norm(det_centroids[d] - c))
+                if dist < match_dist:
+                    pairs.append((dist, gi, int(d)))
+        assign: dict[int, int] = {}
         used = set()
+        for dist, gi, d in sorted(pairs):
+            if gi in assign or d in used:
+                continue
+            assign[gi] = d
+            used.add(d)
         for gi, (card, m) in enumerate(gt):
             stats.n_gt += 1
             quad = quads[gi]
             idable = poly_area(quad) >= idable_area_px
             if idable:
                 stats.n_gt_idable += 1
-            c = quad.mean(0)
-            best, best_d = None, match_dist
-            for d in np.where(valid)[0]:
-                if d in used:
-                    continue
-                dist = float(np.linalg.norm(det_centroids[d] - c))
-                if dist < best_d:
-                    best, best_d = d, dist
+            best = assign.get(gi)
             if best is None:
                 if details is not None:
-                    area = poly_area(quad)
-                    occ = sum(
-                        poly_intersection_area(quad, quads[j]) for j in range(gi)
-                    )
                     details.append({
                         "detected": False, "rank": -1, "card_id": card.id,
-                        "area_px": float(area),
-                        "occluded_frac": float(min(occ / max(area, 1e-6), 1.0)),
+                        "area_px": float(poly_area(quad)),
+                        "occluded_frac": _occluded_frac(quad, quads[:gi]),
                     })
                 continue
-            used.add(best)
             stats.n_detected += 1
             if idable:
                 stats.n_detected_idable += 1
@@ -180,17 +184,13 @@ def evaluate_e2e(
                     if idable:
                         stats.n_top5_idable += 1
             if details is not None:
-                area = poly_area(quad)
-                occ = sum(
-                    poly_intersection_area(quad, quads[j]) for j in range(gi)
-                )
                 scores = out.get("match_scores")
                 details.append({
                     "detected": True, "rank": rank, "card_id": card.id,
                     "corner_err": err, "quad_err": min(err, err_flip),
                     "flipped": bool(err_flip < err),
-                    "area_px": float(area),
-                    "occluded_frac": float(min(occ / max(area, 1e-6), 1.0)),
+                    "area_px": float(poly_area(quad)),
+                    "occluded_frac": _occluded_frac(quad, quads[:gi]),
                     "score0": float(np.asarray(scores[0, best, 0]))
                     if scores is not None else None,
                 })
@@ -212,7 +212,7 @@ def evaluate_oracle(
     construction; flip_rate measures only the configured tail's own flips."""
     import jax.numpy as jnp
 
-    from mtgvision_tpu.ops.polygon import poly_area, poly_intersection_area
+    from mtgvision_tpu.ops.polygon import poly_area
 
     stats = E2EStats()
     card_hw = gen.catalog.card_hw
@@ -267,67 +267,46 @@ def evaluate_oracle(
                     if idable:
                         stats.n_top5_idable += 1
             if details is not None:
-                area = poly_area(quad)
-                occ = sum(
-                    poly_intersection_area(quad, quads[j]) for j in range(gi)
-                )
                 scores = out.get("match_scores")
                 details.append({
                     "detected": True, "rank": rank, "card_id": card.id,
                     "corner_err": err, "quad_err": min(err, err_flip),
                     "flipped": bool(err_flip < err),
-                    "area_px": float(area),
-                    "occluded_frac": float(min(occ / max(area, 1e-6), 1.0)),
+                    "area_px": float(poly_area(quad)),
+                    "occluded_frac": _occluded_frac(quad, quads[:gi]),
                     "score0": float(np.asarray(scores[0, gi, 0]))
                     if scores is not None else None,
                 })
     return stats
 
 
+def _occluded_frac(quad: np.ndarray, occluders: list) -> float:
+    """Fraction of ``quad``'s area covered by the UNION of the occluding
+    quads, by point-sampling (bilinear grid over the quad's corners + convex
+    point-in-polygon tests). Summing pairwise intersection areas instead
+    double-counts regions covered by several stacked occluders."""
+    if not occluders:
+        return 0.0
+    g = 24
+    u = np.linspace(1 / (2 * g), 1 - 1 / (2 * g), g)
+    uu, vv = np.meshgrid(u, u, indexing="ij")
+    tl, tr, br, bl = quad[0], quad[1], quad[2], quad[3]
+    top = tl[None, None] + (tr - tl)[None, None] * uu[..., None]
+    bot = bl[None, None] + (br - bl)[None, None] * uu[..., None]
+    pts = (top + (bot - top) * vv[..., None]).reshape(-1, 2)
+    covered = np.zeros(len(pts), bool)
+    for q in occluders:
+        e = np.roll(q, -1, axis=0) - q  # (4,2) edge vectors
+        v = pts[:, None, :] - q[None]  # (N,4,2)
+        cr = e[None, :, 0] * v[:, :, 1] - e[None, :, 1] * v[:, :, 0]
+        covered |= (cr >= 0).all(1) | (cr <= 0).all(1)
+    return float(covered.mean())
+
+
 def _scene_with_gt(gen: SceneGenerator):
-    """SceneGenerator.random() variant that returns (image, [(card, M), …])."""
-    import jax
-    import jax.numpy as jnp
-
-    from mtgvision_tpu.data.scene_gen import (
-        compose_scene,
-        cover_rotate_matrix,
-        place_card,
-    )
-
-    card_hw = gen.catalog.card_hw
-    bg_hw = gen.bg_size_hw
-    n_cards = int(gen.rng.integers(gen.num_cards_min, gen.num_cards_max + 1))
-    from mtgvision_tpu.data.scene_gen import MAX_CARDS
-
-    ms, polys, cards = [], [], []
-    for _ in range(n_cards):
-        m = place_card(
-            gen.rng, card_hw, bg_hw, polys,
-            min_area_ratio=gen.card_min_area_ratio,
-            max_area_ratio=gen.card_max_area_ratio,
-            jitter_ratio=gen.card_jitter_ratio,
-        )
-        if m is None:
-            continue
-        card = gen.catalog.ran_card(gen.rng)
-        cards.append(card)
-        ms.append(m)
-        polys.append(apply_m(card_bbox(card_hw), m))
-
-    cards_arr = np.zeros((MAX_CARDS, *card_hw, 3), np.float32)
-    ms_arr = np.tile(np.eye(3, dtype=np.float32), (MAX_CARDS, 1, 1))
-    valid = np.zeros(MAX_CARDS, np.float32)
-    for i, (card, m) in enumerate(zip(cards, ms)):
-        cards_arr[i] = gen.catalog.get_image(card)
-        ms_arr[i] = m.astype(np.float32)
-        valid[i] = 1.0
-
-    bg = gen.backgrounds.ran_image(gen.rng)
-    bg_m = cover_rotate_matrix(gen.rng, bg.shape[:2], bg_hw).astype(np.float32)
-    img = compose_scene(
-        gen._next_key(), jnp.asarray(bg), jnp.asarray(bg_m),
-        jnp.asarray(cards_arr), jnp.asarray(ms_arr), jnp.asarray(valid),
-        out_hw=bg_hw,
-    )
-    return np.asarray(img), list(zip(cards, ms))
+    """(image, [(card, M), …]) via SceneGenerator.random(return_cards=True) —
+    the generator itself owns GT extraction, so eval scenes consume the exact
+    RNG stream and placement logic that training scenes do (an earlier local
+    re-implementation here skipped the ratio_bg draw and drifted)."""
+    s = gen.random(return_cards=True)
+    return s["image"], s["cards"]

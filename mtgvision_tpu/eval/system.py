@@ -98,6 +98,7 @@ def build_system(
     refine_redewarp: bool = False,
     refine_iters: int = 1,
     box_snap: bool = False,
+    top_k: int = 5,
 ):
     """(FramePipeline with store attached, catalog). Populates the index by
     embedding every catalog card's crop (qdrant_populate.py:70-90 semantics)."""
@@ -112,10 +113,12 @@ def build_system(
     det, det_vars = load_detector(det_ckpt, size=det_size)
     enc, enc_vars = load_encoder(enc_ckpt, model_name=enc_model)
 
-    embed = jax.jit(lambda x: enc.apply(enc_vars, x))
+    # params ride as a jit ARGUMENT — closing over them bakes multi-MB
+    # weight literals into the HLO, which remote compile services reject
+    embed = jax.jit(enc.apply)
 
     def predict_batch(crops: np.ndarray) -> np.ndarray:
-        return np.asarray(embed(jnp.asarray(crops, jnp.float32)))
+        return np.asarray(embed(enc_vars, jnp.asarray(crops, jnp.float32)))
 
     store = VectorStore(dim=768)
     populate_index(store, catalog, predict_batch, batch_size=populate_batch,
@@ -148,6 +151,10 @@ def build_system(
         refine_redewarp=refine_redewarp,
         refine_iters=refine_iters,
         box_snap=box_snap,
+        # default 5 so reported top-5 metrics are true top-5: the
+        # FramePipeline serving default (top_k=3, reference server.py:189)
+        # silently capped the eval's "top5" at top-3 before this
+        top_k=top_k,
     )
     return pipe, catalog
 
@@ -194,6 +201,10 @@ def main(argv=None):
         "raise for a serving-like 'card held to webcam' distribution)",
     )
     args = ap.parse_args(argv)
+    if args.refine_iters > 1 and args.refine_redewarp != "y":
+        ap.error("--refine-iters > 1 requires --refine-redewarp y (the "
+                 "pipeline clamps to one pass otherwise, and the run would "
+                 "be mislabeled as multi-iteration)")
 
     catalog = ProceduralCatalog(n_cards=args.n_cards)
     pipe, _ = build_system(

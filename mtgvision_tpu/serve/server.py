@@ -322,6 +322,8 @@ def main(argv=None):
                     help="frame program layout (see FramePipeline.layout); "
                     "bench.py reports which is fastest on the deployment")
     args = ap.parse_args(argv)
+    if args.refine_iters > 1 and args.refine_redewarp != "y":
+        ap.error("--refine-iters > 1 requires --refine-redewarp y")
 
     store = None
     if args.index:

@@ -329,3 +329,33 @@ def test_place_card_native_small_frame_and_edge_coverage():
         centers.min(),
         centers.max(),
     )
+
+
+def test_scene_random_return_cards(gen):
+    """return_cards=True exposes the placed (card, M) GT pairs, consistent
+    with the keypoint labels (one seg polygon per placed card)."""
+    s = gen.random(return_cards=True)
+    assert "cards" in s
+    assert len(s["cards"]) == len(s["keypoints"])
+    for card, m in s["cards"]:
+        quad = apply_m(card_bbox((112, 80)), m)
+        assert np.isfinite(quad).all()
+        assert quad[:, 0].min() > -160 and quad[:, 0].max() < 320
+
+
+def test_occluded_frac_union():
+    """Union semantics: stacked occluders must not double-count coverage."""
+    from mtgvision_tpu.eval.e2e_eval import _occluded_frac
+
+    quad = np.asarray([(0, 0), (100, 0), (100, 100), (0, 100)], float)
+    cover = np.asarray([(-10, -10), (110, -10), (110, 110), (-10, 110)], float)
+    half = np.asarray([(0, 0), (50, 0), (50, 100), (0, 100)], float)
+    far = np.asarray([(500, 500), (600, 500), (600, 600), (500, 600)], float)
+    assert _occluded_frac(quad, []) == 0.0
+    assert _occluded_frac(quad, [far]) == 0.0
+    assert _occluded_frac(quad, [cover]) == 1.0
+    # the same half-covering quad twice: still 0.5, not 1.0
+    f2 = _occluded_frac(quad, [half, half])
+    assert abs(f2 - 0.5) < 0.05, f2
+    # reversed winding must also count
+    assert _occluded_frac(quad, [cover[::-1].copy()]) == 1.0
