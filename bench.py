@@ -87,25 +87,48 @@ def main():
         from mtgvision_tpu.infer.pipeline import bench_e2e
 
         # measure candidate serving configs and serve the fastest. Device
-        # compute is ~12.5 ms per 8 frames (~640 fps bound); what separates
-        # the configs is dispatch count × how much of the ~5 ms/program RTT
-        # the chain interleave hides. Configs, cheapest-compile first:
-        #   3prog ×2 chains  — baseline (r2: 352 fps)
-        #   3prog ×4 chains  — same compiled programs, deeper overlap
-        #   2prog ×4 chains  — rectify+embed+match fused: 2 RTTs/batch
-        #   fused ×2         — single mega-program (can 413 on remote
-        #                      compile services; must never take down bench)
-        #   batch 16         — amortizes dispatch over more frames
+        # compute is ~20 ms per 8 frames single-orientation (detect 9.6 +
+        # rectify/embed 12.6, overlap-adjusted → ~400 fps compute bound);
+        # what separates the configs is dispatch count × how much of the
+        # ~5 ms/program RTT the chain interleave hides. Configs,
+        # cheapest-compile first:
+        #   3prog ×2/×4 chains — baseline programs, deeper overlap
+        #   2prog ×4 chains    — rectify+embed+match fused: 2 RTTs/batch
+        #   fused ×2/×4        — single mega-program (can trip remote
+        #                        compile-service limits; must never take
+        #                        down bench)
+        #   batch 16 variants  — amortize dispatch over more frames
+        # (batch, layout) pairs compile once and are memoized, so chain-depth
+        # variants of an already-built pipeline cost only measurement time.
+        # New compiles are attempted in cheapest-first order under a global
+        # deadline: if the compile cache is cold (fresh container / libtpu
+        # bump) we stop *starting* new compiles past the budget and report
+        # the best config measured so far rather than risk the bench window.
         results = {}
+        t_start = time.perf_counter()
+        compile_budget_s = 1500.0
+        built: set = set()
         for name, kw in [
             ("3prog_c2", {}),
             ("3prog_c4", {"chains": 4}),
             ("2prog_c4", {"layout": "2prog", "chains": 4}),
             ("fused_c2", {"layout": "fused"}),
+            ("fused_c4", {"layout": "fused", "chains": 4}),
             ("b16_c2", {"batch": 16}),
+            ("b16_c4", {"batch": 16, "chains": 4}),
+            ("b16_2prog_c4", {"batch": 16, "layout": "2prog", "chains": 4}),
+            ("b16_fused_c4", {"batch": 16, "layout": "fused", "chains": 4}),
         ]:
+            key = (kw.get("batch", 8), kw.get("layout", "3prog"))
+            is_new_compile = key not in built
+            elapsed = time.perf_counter() - t_start
+            if is_new_compile and elapsed > compile_budget_s and results:
+                print(f"{name} skipped (deadline: {elapsed:.0f}s elapsed)",
+                      file=sys.stderr)
+                continue
             try:
                 results[name] = bench_e2e(**kw)
+                built.add(key)
             except Exception as e:
                 print(f"{name} failed ({type(e).__name__}: {e})",
                       file=sys.stderr)

@@ -357,7 +357,13 @@ def dewarp_quad(
     # out of the code: int8 weights+pixels (scales cancel in the ratio) ran
     # 10.0 ms — the quantize/dequantize VPU work outweighs the traffic saved;
     # a fused Pallas kernel (ops/dewarp_pallas.py) that never materializes
-    # the weights ran 8.8-10 ms, VPU rate-bound on the dense accumulation.
+    # the weights ran 8.8-10 ms, VPU rate-bound on the dense accumulation;
+    # swapping pass order to horizontal-first (OW=128 on the first pass, so
+    # w1 shrinks OH·W² → OW·W², −20% weight elements/FLOPs on paper)
+    # measured 7% SLOWER end-to-end across every serving layout (434.6 →
+    # 405.6 fps, full 9-config bench A/B) — the batched-GEMM shapes it
+    # produces lower worse than the element count saves, so vertical-first
+    # stays.
     # A ones-channel appended to the source makes each pass's normalizing
     # denominator ride the same contraction instead of a second reduce.
     uu = ug[None, :]
