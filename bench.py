@@ -108,27 +108,38 @@ def main():
         t_start = time.perf_counter()
         compile_budget_s = 1500.0
         built: set = set()
+        # batch/layout are passed EXPLICITLY in every config so the memo key
+        # below can never drift from bench_e2e's defaults (ADVICE r2).
         for name, kw in [
-            ("3prog_c2", {}),
-            ("3prog_c4", {"chains": 4}),
-            ("2prog_c4", {"layout": "2prog", "chains": 4}),
-            ("fused_c2", {"layout": "fused"}),
-            ("fused_c4", {"layout": "fused", "chains": 4}),
-            ("b16_c2", {"batch": 16}),
-            ("b16_c4", {"batch": 16, "chains": 4}),
+            ("3prog_c2", {"batch": 8, "layout": "3prog"}),
+            ("3prog_c4", {"batch": 8, "layout": "3prog", "chains": 4}),
+            ("2prog_c4", {"batch": 8, "layout": "2prog", "chains": 4}),
+            ("fused_c4", {"batch": 8, "layout": "fused", "chains": 4}),
+            ("b16_c4", {"batch": 16, "layout": "3prog", "chains": 4}),
             ("b16_2prog_c4", {"batch": 16, "layout": "2prog", "chains": 4}),
+            ("b16_2prog_c8", {"batch": 16, "layout": "2prog", "chains": 8}),
             ("b16_fused_c4", {"batch": 16, "layout": "fused", "chains": 4}),
+            ("b16_fused_c8", {"batch": 16, "layout": "fused", "chains": 8}),
+            ("b32_2prog_c4", {"batch": 32, "layout": "2prog", "chains": 4}),
+            ("b32_2prog_c8", {"batch": 32, "layout": "2prog", "chains": 8}),
+            ("b32_fused_c4", {"batch": 32, "layout": "fused", "chains": 4}),
+            ("b32_fused_c8", {"batch": 32, "layout": "fused", "chains": 8}),
         ]:
-            key = (kw.get("batch", 8), kw.get("layout", "3prog"))
+            key = (kw["batch"], kw["layout"])
             is_new_compile = key not in built
             elapsed = time.perf_counter() - t_start
-            if is_new_compile and elapsed > compile_budget_s and results:
+            measured_any = any(v > 0 for v in results.values())
+            if is_new_compile and elapsed > compile_budget_s and measured_any:
                 print(f"{name} skipped (deadline: {elapsed:.0f}s elapsed)",
                       file=sys.stderr)
                 continue
+            # mark the (batch, layout) pair built BEFORE measuring: the
+            # compiled pipeline is memoized inside bench_e2e as soon as
+            # build succeeds, so a later failure during measurement must not
+            # re-classify same-key configs as new compiles (ADVICE r2)
+            built.add(key)
             try:
                 results[name] = bench_e2e(**kw)
-                built.add(key)
             except Exception as e:
                 print(f"{name} failed ({type(e).__name__}: {e})",
                       file=sys.stderr)

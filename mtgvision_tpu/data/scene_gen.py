@@ -357,6 +357,12 @@ class SceneGenerator:
         card_min_area_ratio: float = 0.02,
         card_max_area_ratio: float = 0.9,
         card_jitter_ratio: float = 0.3,
+        # min fraction of the card that must stay inside the frame; clamped
+        # up to min_visible (0.5) by place_card like the reference
+        # (od_datasets.py:313-315). The reference's ACTIVE seg config trains
+        # with edges=0.0 → effective 0.5 (od_datasets.py:861-866): cards may
+        # hang half off-frame.
+        card_min_visible_edge: float = 1.0,
     ):
         self.catalog = catalog
         self.backgrounds = backgrounds
@@ -370,6 +376,7 @@ class SceneGenerator:
         self.card_min_area_ratio = card_min_area_ratio
         self.card_max_area_ratio = card_max_area_ratio
         self.card_jitter_ratio = card_jitter_ratio
+        self.card_min_visible_edge = card_min_visible_edge
 
     @property
     def class_names(self) -> list[str]:
@@ -405,6 +412,7 @@ class SceneGenerator:
                 min_area_ratio=self.card_min_area_ratio,
                 max_area_ratio=self.card_max_area_ratio,
                 jitter_ratio=self.card_jitter_ratio,
+                min_visible_edge=self.card_min_visible_edge,
             )
             if m is None:
                 continue

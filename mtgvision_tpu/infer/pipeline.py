@@ -701,8 +701,9 @@ def bench_e2e(
     with concurrent client streams; the device still has to execute every
     program. Measured r2 (v5e-1, quiet): 1-chain 341.9 fps, 2-chain 352.5 fps
     — the delta is the honest dispatch-overlap gain, not an artifact. Deeper
-    interleave raises the ceiling toward the device-compute bound (~12.5 ms
-    per 8 frames ≈ 640 fps) by hiding more of the ~5 ms/program dispatch RTT.
+    interleave raises the ceiling toward the device-compute bound (~20 ms per
+    8 frames ≈ 400 fps single-orientation at batch 8; larger batches amortize
+    per-program fixed cost further) by hiding the ~5 ms/program dispatch RTT.
 
     The built pipeline is memoized per (batch, layout): sweeping chain depths
     over the same layout (bench.py) reuses the compiled programs instead of

@@ -61,6 +61,15 @@ class DetectorConfig:
     precision: str = "bf16"
     pool_size: int = 1024
     bg_pool_size: int = 128
+    # Reference-parity placement regime (the ACTIVE seg config,
+    # od_datasets.py:861-873): 10% pure-background scenes so the detector
+    # learns what "no card" looks like, corner jitter 0.7, and NO extra
+    # edge-visibility floor (0.0 is clamped up to min_visible=0.5 inside
+    # place_card, exactly like the reference's max() at od_datasets.py:313-315
+    # — cards may hang half off-frame).
+    ratio_bg: float = 0.1
+    jitter_ratio: float = 0.7
+    min_visible_edge: float = 0.0
     ckpt_dir: str = "checkpoints_od"
     n_devices: int = 0
     # HBM-resident pregenerated scene pool (0 = compose scenes per step).
@@ -268,10 +277,19 @@ class DetectorDataset:
         )
         for bi in range(b):
             polys = []
-            n_cards = int(self.rng.integers(self.num_cards_min, self.num_cards_max + 1))
+            # ratio_bg: pure-background scene with zero cards (od_datasets.py:686)
+            n_cards = (
+                0
+                if self.rng.random() < cfg.ratio_bg
+                else int(self.rng.integers(self.num_cards_min, self.num_cards_max + 1))
+            )
             slot = 0
             for _ in range(n_cards):
-                m = place_card(self.rng, card_hw, out_hw, polys)
+                m = place_card(
+                    self.rng, card_hw, out_hw, polys,
+                    jitter_ratio=cfg.jitter_ratio,
+                    min_visible_edge=cfg.min_visible_edge,
+                )
                 if m is None:
                     continue
                 card_idx[bi, slot] = self.rng.integers(0, self.card_pool.pool_size)
@@ -410,6 +428,8 @@ class ScenePoolDataset:
             cfg.pool_size, cfg.bg_pool_size, type(cat).__name__,
             tuple(cat.card_hw), len(cat),
             self.base.num_cards_min, self.base.num_cards_max,
+            # distribution fields (reference-parity regime, r3)
+            cfg.ratio_bg, cfg.jitter_ratio, cfg.min_visible_edge,
         )
         import hashlib
 

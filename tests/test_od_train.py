@@ -266,3 +266,38 @@ def test_det_train_scan(det_setup):
     assert np.isfinite(float(logs["loss"]))
     state, logs = scan(state, jax.random.PRNGKey(2))
     assert int(jax.device_get(state.step)) == 6
+
+
+def test_reference_parity_distribution():
+    """The ACTIVE reference training regime (od_datasets.py:861-873):
+    ~ratio_bg pure-background scenes, jitter 0.7, effective edge visibility
+    0.5 — edge-clipped cards (quad extending past the frame) must occur."""
+    config = DetectorConfig(
+        seed=0, img_size=IMG, batch_size=8, pool_size=8, bg_pool_size=4,
+        precision="fp32",
+    )
+    assert config.ratio_bg == 0.1
+    assert config.jitter_ratio == 0.7
+    assert config.min_visible_edge == 0.0
+    cat = ProceduralCatalog(n_cards=8, card_hw=(48, 32))
+    ds = DetectorDataset(cat, ProceduralBackgrounds(bg_hw=(64, 64)), config)
+    n_empty = n_scenes = n_clipped = 0
+    for _ in range(8):
+        b = ds.random_batch()
+        valid = np.asarray(b["gt_valid"])
+        boxes = np.asarray(b["gt_boxes"])
+        for bi in range(valid.shape[0]):
+            n_scenes += 1
+            if not valid[bi].any():
+                n_empty += 1
+                continue
+            # clipped GT boxes touching the frame border ⇒ edge-clipped card
+            for k in np.where(valid[bi])[0]:
+                x1, y1, x2, y2 = boxes[bi, k]
+                if x1 <= 0.5 or y1 <= 0.5 or x2 >= IMG - 0.5 or y2 >= IMG - 0.5:
+                    n_clipped += 1
+    # binomial(64, 0.1): P(0 empty) ≈ 0.1%; placement can also fail, adding
+    # empties — accept any nonzero count up to half
+    assert 0 < n_empty < n_scenes // 2
+    # with effective edge visibility 0.5, border-touching cards are common
+    assert n_clipped >= 3
