@@ -44,10 +44,30 @@ class E2EStats:
     n_detected_idable: int = 0
     n_top1_idable: int = 0
     n_top5_idable: int = 0
+    # false-positive accounting: valid detections NOT matched to any GT card.
+    # Without this a detector that hallucinates cards on textured backgrounds
+    # scores identically to a perfect one (recall/top-1 are GT-centric).
+    n_frames: int = 0
+    n_valid_det: int = 0  # all valid detection slots across frames
+    n_fp: int = 0  # valid detections with no assigned GT
+    n_bg_frames: int = 0  # frames with zero GT cards (ratio_bg scenes)
+    n_bg_fp: int = 0  # false positives on those pure-background frames
 
     @property
     def recall(self) -> float:
         return self.n_detected / max(self.n_gt, 1)
+
+    @property
+    def precision(self) -> float:
+        return (self.n_valid_det - self.n_fp) / max(self.n_valid_det, 1)
+
+    @property
+    def fp_per_frame(self) -> float:
+        return self.n_fp / max(self.n_frames, 1)
+
+    @property
+    def bg_fp_per_frame(self) -> float:
+        return self.n_bg_fp / max(self.n_bg_frames, 1)
 
     @property
     def top1(self) -> float:
@@ -78,8 +98,15 @@ class E2EStats:
         return self.n_top5_idable / max(self.n_detected_idable, 1)
 
     def __str__(self):
+        bg = (
+            f" bg_fp/frame={self.bg_fp_per_frame:.3f} (n_bg={self.n_bg_frames})"
+            if self.n_bg_frames
+            else ""
+        )
         return (
-            f"recall={self.recall:.3f} top1={self.top1:.3f} top5={self.top5:.3f} "
+            f"recall={self.recall:.3f} precision={self.precision:.3f} "
+            f"fp/frame={self.fp_per_frame:.3f}{bg} "
+            f"top1={self.top1:.3f} top5={self.top5:.3f} "
             f"corner_err={self.mean_corner_err:.1f}px "
             f"(quad_err={self.mean_oriented_err:.1f}px flip_rate={self.flip_rate:.2f}) "
             f"(gt={self.n_gt}, det={self.n_detected}) "
@@ -140,6 +167,15 @@ def evaluate_e2e(
                 continue
             assign[gi] = d
             used.add(d)
+        # precision: every valid detection left unassigned is a false positive
+        valid_ids = np.where(valid)[0]
+        stats.n_frames += 1
+        stats.n_valid_det += len(valid_ids)
+        n_fp_frame = sum(1 for d in valid_ids if int(d) not in used)
+        stats.n_fp += n_fp_frame
+        if not gt:
+            stats.n_bg_frames += 1
+            stats.n_bg_fp += n_fp_frame
         for gi, (card, m) in enumerate(gt):
             stats.n_gt += 1
             quad = quads[gi]

@@ -200,6 +200,15 @@ def main(argv=None):
         "reference convention maps 0.02 to cards as small as ~700 px² — "
         "raise for a serving-like 'card held to webcam' distribution)",
     )
+    # scene-distribution knobs (reference ACTIVE config: --ratio-bg 0.1
+    # --jitter 0.7 --min-visible-edge 0.0, od_datasets.py:861-873)
+    ap.add_argument("--ratio-bg", type=float, default=0.0,
+                    help="fraction of pure-background scenes (FP probe)")
+    ap.add_argument("--jitter", type=float, default=0.3,
+                    help="corner jitter ratio for placed cards")
+    ap.add_argument("--min-visible-edge", type=float, default=1.0,
+                    help="min in-frame visible fraction (clamped up to 0.5)")
+    ap.add_argument("--num-cards-min", type=int, default=1)
     args = ap.parse_args(argv)
     if args.refine_iters > 1 and args.refine_redewarp != "y":
         ap.error("--refine-iters > 1 requires --refine-redewarp y (the "
@@ -223,9 +232,12 @@ def main(argv=None):
         box_snap=args.box_snap == "y",
     )
     gen = SceneGenerator(
-        catalog, ProceduralBackgrounds(), num_cards_min=1,
+        catalog, ProceduralBackgrounds(), num_cards_min=args.num_cards_min,
         num_cards_max=args.max_cards, seed=args.seed,
         card_min_area_ratio=args.min_area_ratio,
+        card_jitter_ratio=args.jitter,
+        card_min_visible_edge=args.min_visible_edge,
+        ratio_bg=args.ratio_bg,
     )
     details: list | None = [] if args.details_out else None
     if args.oracle == "y":
@@ -243,6 +255,10 @@ def main(argv=None):
         "top1_idable": stats.top1_idable, "top5_idable": stats.top5_idable,
         "n_gt_idable": stats.n_gt_idable,
         "n_detected_idable": stats.n_detected_idable,
+        "precision": stats.precision, "fp_per_frame": stats.fp_per_frame,
+        "n_valid_det": stats.n_valid_det, "n_fp": stats.n_fp,
+        "bg_fp_per_frame": stats.bg_fp_per_frame,
+        "n_bg_frames": stats.n_bg_frames,
     }
     print(json.dumps(rec))
     if args.json_out:

@@ -133,6 +133,12 @@ class FramePipeline:
         self.encoder = encoder
         self.enc_variables = enc_variables
         self.store = store
+        # multi-chip serving: when the store shards its matrix over a mesh
+        # (index/store.py rows-over-1D-mesh), the match stage uses the
+        # explicit-collective sharded top-k (ops/topk.cosine_topk_sharded) —
+        # per-shard matmul + local top-k, then only (B,k) candidates cross
+        # ICI (SURVEY §2.5 plan b)
+        self.mesh = getattr(store, "mesh", None) if store is not None else None
         self.max_det = max_det
         self.crop_hw = crop_hw
         self.top_k = top_k
@@ -397,7 +403,15 @@ class FramePipeline:
         """(n_or,B,D,Z) embeddings + corners + index → per-detection match
         results with the better-scoring orientation selected (n_or == 2)."""
         n_or, b, d, _ = z.shape
-        ms, mi = cosine_topk(z.reshape(n_or * b * d, -1), index_mat, k=self.top_k)
+        q = z.reshape(n_or * b * d, -1)
+        if self.mesh is not None:
+            from mtgvision_tpu.ops.topk import cosine_topk_sharded
+
+            # NaN-query sanitation matches cosine_topk (degenerate crops)
+            q = jnp.nan_to_num(q)
+            ms, mi = cosine_topk_sharded(q, index_mat, k=self.top_k, mesh=self.mesh)
+        else:
+            ms, mi = cosine_topk(q, index_mat, k=self.top_k)
         ms = ms.reshape(n_or, b, d, self.top_k)
         mi = mi.reshape(n_or, b, d, self.top_k)
         if n_or == 1:

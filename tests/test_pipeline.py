@@ -102,7 +102,22 @@ def test_e2e_eval_harness():
     stats = evaluate_e2e(pipe, gen, n_scenes=3)
     assert stats.n_gt >= 3
     assert 0.0 <= stats.recall <= 1.0
+    # precision bookkeeping: every valid detection is either matched or FP
+    assert stats.n_frames == 3
+    assert stats.n_fp == stats.n_valid_det - stats.n_detected
+    assert 0.0 <= stats.precision <= 1.0
     assert str(stats)
+
+    # pure-background scenes (ratio_bg=1.0): all GT-centric counters stay 0,
+    # every valid detection is a background false positive
+    gen_bg = SceneGenerator(
+        cat, ProceduralBackgrounds(bg_hw=(96, 96)), bg_size_hw=(160, 160),
+        ratio_bg=1.0, seed=6,
+    )
+    s_bg = evaluate_e2e(pipe, gen_bg, n_scenes=2)
+    assert s_bg.n_gt == 0 and s_bg.n_bg_frames == 2
+    assert s_bg.n_bg_fp == s_bg.n_valid_det == s_bg.n_fp
+    assert "bg_fp/frame" in str(s_bg)
 
 
 def test_dual_orientation_match_selects_flip():
@@ -130,6 +145,7 @@ def test_dual_orientation_match_selects_flip():
     pipe.crop_hw = (8, 6)
     pipe.top_k = 1
     pipe.both_orientations = True
+    pipe.mesh = None
     import functools
     import jax
     from mtgvision_tpu.ops.topk import cosine_topk
@@ -331,3 +347,41 @@ def test_degenerate_quad_yields_finite_scores(pipeline):
     assert np.isfinite(np.asarray(out["z"])).all()
     # the healthy slot survives; at least the degenerate ones may be dropped
     assert bool(out["valid"][0, 1])
+
+
+def test_match_select_sharded_store(mesh8):
+    """FramePipeline._match_select over a mesh-sharded store matrix must
+    agree with the replicated path (SURVEY §2.5 plan b: sharded serving)."""
+    from mtgvision_tpu.index import VectorPoint, VectorStore
+
+    rng = np.random.default_rng(3)
+    d = 32
+    vecs = rng.standard_normal((40, d)).astype(np.float32)
+    pts = [VectorPoint(id=f"c{i}", vector=v) for i, v in enumerate(vecs)]
+
+    def mk_pipe(mesh):
+        store = VectorStore(dim=d, capacity=16, mesh=mesh)
+        store.save_points(pts)
+        det = YoloSeg(num_classes=1, size="n")
+        enc = ConvNeXtV2Encoder(
+            image_hw=(32, 32), z_size=d, depths=(1, 1, 1, 1), dims=(8, 8, 8, 8)
+        )
+        return FramePipeline(det, None, enc, None, store=store, max_det=4, top_k=3)
+
+    pipe_sh = mk_pipe(mesh8)
+    pipe_re = mk_pipe(None)
+    assert pipe_sh.mesh is mesh8 and pipe_re.mesh is None
+
+    z = jnp.asarray(rng.random((2, 2, 4, d)), jnp.float32)
+    corners = jnp.asarray(rng.random((2, 4, 4, 2)), jnp.float32)
+    ms_s, mi_s, c_s, fl_s, _ = pipe_sh._match_select(
+        z, corners, pipe_sh.store._matrix()
+    )
+    ms_r, mi_r, c_r, fl_r, _ = pipe_re._match_select(
+        z, corners, pipe_re.store._matrix()
+    )
+    # top-1 row must agree exactly; scores to bf16-matmul tolerance
+    np.testing.assert_array_equal(np.asarray(mi_s)[..., 0], np.asarray(mi_r)[..., 0])
+    np.testing.assert_allclose(np.asarray(ms_s), np.asarray(ms_r), atol=2e-2)
+    np.testing.assert_array_equal(np.asarray(fl_s), np.asarray(fl_r))
+    assert int(np.asarray(mi_s)[..., 0].max()) < 40
