@@ -177,9 +177,19 @@ def _seed_from(s: str) -> int:
 class ProceduralCatalog(CardCatalog):
     """Deterministic synthetic card census for hermetic training/eval.
 
-    ``n_cards`` cards over ``n_names`` names (same-name printings share art,
-    differ in frame hue) across ``n_sets`` sets. Rendering is pure numpy from
-    a per-card hash seed, so any card can be regenerated anywhere.
+    ``n_cards`` cards over ``n_names`` names (same-name printings share art)
+    across ``n_sets`` sets. Rendering is pure numpy from a per-card hash
+    seed, so any card can be regenerated anywhere.
+
+    ``confusable``: controls how much same-name printings differ.
+    - False (legacy): frame color and text box are printing-specific —
+      printings differ over ~50% of the card's pixels, which saturated the
+      retrieval benchmark (r2 validate_10k top-1 = 1.000 everywhere).
+    - True: frame, art, title AND text box are all name-specific; printings
+      differ ONLY in a small set-symbol glyph patch (~1% of the card, right
+      edge between art and text box) — the real-Scryfall regime where
+      same-name printings are near-identical scans distinguished by the set
+      symbol (reference encoder_validate.py:56-99 difficulty).
     """
 
     def __init__(
@@ -188,6 +198,7 @@ class ProceduralCatalog(CardCatalog):
         n_names: int | None = None,
         n_sets: int = 8,
         card_hw: tuple[int, int] = (448, 320),
+        confusable: bool = False,
     ):
         n_names = n_names or max(1, n_cards // 2)  # avg 2 printings per name
         cards = [
@@ -198,12 +209,19 @@ class ProceduralCatalog(CardCatalog):
             )
             for i in range(n_cards)
         ]
+        self.confusable = confusable
         super().__init__(cards, card_hw)
 
     def get_image(self, card: Card) -> np.ndarray:
         h, w = self.card_hw
         art_rng = np.random.default_rng(_seed_from("art:" + card.name))
-        id_rng = np.random.default_rng(_seed_from("id:" + card.id))
+        # confusable mode: every printing-varying region except the set
+        # symbol draws from the NAME stream, so printings are near-identical
+        id_rng = (
+            np.random.default_rng(_seed_from("art2:" + card.name))
+            if self.confusable
+            else np.random.default_rng(_seed_from("id:" + card.id))
+        )
 
         yy, xx = np.meshgrid(
             np.linspace(0, 1, h, dtype=np.float32),
@@ -235,6 +253,20 @@ class ProceduralCatalog(CardCatalog):
             : b1 - b0, : m1 - m0
         ]
         img[b0:b1, m0:m1] = np.where(dots[..., None], 0.85, 0.15)
+
+        if self.confusable:
+            # set-symbol glyph — the ONLY printing-specific region (~1% of
+            # pixels): a 6×8 binary glyph at the right edge between art and
+            # text box, like a real MTG set symbol
+            sym_rng = np.random.default_rng(_seed_from("sym:" + card.id))
+            s0, s1 = int(0.555 * h), int(0.595 * h)
+            c0, c1 = int(0.84 * w), int(0.93 * w)
+            glyph = sym_rng.random((6, 8)) > 0.5
+            glyph = np.kron(
+                glyph, np.ones(((s1 - s0) // 6 + 1, (c1 - c0) // 8 + 1))
+            )[: s1 - s0, : c1 - c0]
+            col = sym_rng.random(3).astype(np.float32) * 0.7 + 0.15
+            img[s0:s1, c0:c1] = np.where(glyph[..., None], col, 0.05)
 
         return np.clip(img, 0.0, 1.0).astype(np.float32)
 

@@ -31,6 +31,11 @@ def main(argv=None):
     ap.add_argument("--n-cards", type=int, default=10_000, help="catalog size")
     ap.add_argument("--batch-size", type=int, default=256)
     ap.add_argument("--out", default="")
+    ap.add_argument(
+        "--confusable", default="n", choices=("y", "n"),
+        help="same-name printings differ only in the set-symbol glyph "
+        "(the real-Scryfall difficulty; de-saturates the benchmark)",
+    )
     args = ap.parse_args(argv)
 
     from mtgvision_tpu.data.catalog import ProceduralBackgrounds, ProceduralCatalog
@@ -51,7 +56,9 @@ def main(argv=None):
             )
         return np.asarray(apply(jnp.asarray(x)))[:b]
 
-    catalog = ProceduralCatalog(n_cards=args.n_cards)
+    catalog = ProceduralCatalog(
+        n_cards=args.n_cards, confusable=args.confusable == "y"
+    )
     backgrounds = ProceduralBackgrounds()
     store = VectorStore(dim=768)
 
@@ -72,6 +79,7 @@ def main(argv=None):
     rec = {
         "n_index": len(store),
         "n_eval": args.n,
+        "confusable": args.confusable == "y",
         "encoder": args.enc,
         "model": args.model_name,
         "populate_s": round(t_pop, 1),

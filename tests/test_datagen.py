@@ -175,3 +175,22 @@ def test_dataset_p_occlude_reaches_pooled_paths(catalog, bgs):
         assert b["x"].shape == b0["x"].shape
         # same seed, only the occluder differs: p=1 must change the pixels
         assert not np.allclose(np.asarray(b["x"]), np.asarray(b0["x"]))
+
+
+def test_procedural_confusable_printings():
+    """Confusable mode: same-name printings differ ONLY in the small
+    set-symbol glyph (~1-2% of pixels); legacy mode differs broadly."""
+    from mtgvision_tpu.data.catalog import ProceduralCatalog
+
+    for confusable, lo, hi in ((True, 0.0, 0.03), (False, 0.10, 1.0)):
+        cat = ProceduralCatalog(n_cards=8, n_names=4, card_hw=(112, 80),
+                                confusable=confusable)
+        by_name = {}
+        for c in cat:
+            by_name.setdefault(c.name, []).append(c)
+        pair = next(v for v in by_name.values() if len(v) == 2)
+        a, b = (cat.get_image(c) for c in pair)
+        diff_frac = float((np.abs(a - b).max(-1) > 0.05).mean())
+        assert lo <= diff_frac <= hi, (confusable, diff_frac)
+        if confusable:
+            assert diff_frac > 0.0  # printings must still be distinguishable
