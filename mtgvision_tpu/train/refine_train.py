@@ -202,7 +202,11 @@ def make_refine_batch(key, card_pool_u8, bg_pool_u8, batch_size, size_hw,
         # stack measured ~5x slower per train step on CPU. kl1/kl2 stay
         # reserved to keep the key-split layout stable.
         del kl1, kl2
-        factors = (2, 4, 6, 8)
+        # factor census matched to the e2e detection-size distribution
+        # (e2e_refdist details: log-uniform card areas → crop upsampling
+        # roughly log-uniform over 2-8×, with the sub-4k px² failure band at
+        # ~5×+); 3 and 5 fill the gaps the r2 mixture (2,4,6,8) left
+        factors = (2, 3, 4, 5, 6, 8)
         n_low = int(round(batch_size * p_lowres))
         if n_low:
             # distribute the lowres budget across factors without flooring
