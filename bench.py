@@ -124,8 +124,12 @@ def main():
             ("b32_2prog_c8", {"batch": 32, "layout": "2prog", "chains": 8}),
             ("b32_fused_c4", {"batch": 32, "layout": "fused", "chains": 4}),
             ("b32_fused_c8", {"batch": 32, "layout": "fused", "chains": 8}),
+            ("b16f_2prog_c8", {"batch": 16, "layout": "2prog", "chains": 8,
+                               "frame_dtype": "bf16"}),
+            ("b32f_2prog_c8", {"batch": 32, "layout": "2prog", "chains": 8,
+                               "frame_dtype": "bf16"}),
         ]:
-            key = (kw["batch"], kw["layout"])
+            key = (kw["batch"], kw["layout"], kw.get("frame_dtype", "f32"))
             is_new_compile = key not in built
             elapsed = time.perf_counter() - t_start
             measured_any = any(v > 0 for v in results.values())

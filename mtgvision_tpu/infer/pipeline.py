@@ -651,6 +651,11 @@ def build_e2e_pipeline(
     max_det: int = 8,
     seed: int = 0,
     layout: str = "3prog",  # "3prog" | "2prog" | "fused"
+    # frame ingest dtype: bf16 halves the HBM traffic of every frame-sized
+    # read (detector stem + per-crop dewarp resamples) at no accuracy cost —
+    # the detector casts to bf16 internally anyway and crops re-enter the
+    # bf16 encoder
+    frame_dtype: str = "f32",  # "f32" | "bf16"
 ):
     """Random-weight pipeline at deployment sizes (YOLO11-s + ConvNeXtV2 nano,
     od_train.py:138-151 / encoder_export.py:23-26) for throughput benchmarks."""
@@ -692,6 +697,8 @@ def build_e2e_pipeline(
         return out["match_idx"], out["valid"]
 
     frames = jax.random.uniform(jax.random.PRNGKey(2), (batch, *frame_hw, 3))
+    if frame_dtype == "bf16":
+        frames = frames.astype(jnp.bfloat16)
     return run, frames
 
 
@@ -704,6 +711,7 @@ def bench_e2e(
     iters: int = 20,
     layout: str = "3prog",
     chains: int = 2,
+    frame_dtype: str = "f32",
 ) -> float:
     """Frames/s/chip for the full detect→orient→rectify→embed→match program.
 
@@ -723,13 +731,15 @@ def bench_e2e(
     over the same layout (bench.py) reuses the compiled programs instead of
     paying pipeline init + trace + warmup again per config.
     """
-    key = (batch, layout)
+    key = (batch, layout, frame_dtype)
     if key not in _BENCH_PIPES:
-        _BENCH_PIPES[key] = build_e2e_pipeline(batch=batch, layout=layout)
+        _BENCH_PIPES[key] = build_e2e_pipeline(
+            batch=batch, layout=layout, frame_dtype=frame_dtype
+        )
     run, frames = _BENCH_PIPES[key]
 
     def step(c):
-        idx, valid = run(frames + c)
+        idx, valid = run(frames + c.astype(frames.dtype))
         return 0.0 * idx[0, 0, 0].astype(jnp.float32)
 
     cs = [jnp.full((), i * 1e-6, jnp.float32) for i in range(max(1, chains))]

@@ -19,6 +19,29 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Compile-heavy modules (detector/pipeline/train-step jits): auto-marked
+# ``slow`` so CI and quick local runs can deselect them —
+#   pytest -q -m "not slow"     fast tier (< ~2 min on the 8-dev CPU mesh)
+#   pytest -q                   everything (documented in README)
+SLOW_FILES = {
+    "test_pipeline.py",
+    "test_od_train.py",
+    "test_train_step.py",
+    "test_yolo.py",
+    "test_obb.py",
+    "test_refine_head.py",
+    "test_orient_head.py",
+    "test_refine_crop.py",
+    "test_serve_eval.py",
+    "test_datagen.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.path.name in SLOW_FILES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def mesh8():
