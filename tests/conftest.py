@@ -34,12 +34,29 @@ SLOW_FILES = {
     "test_refine_crop.py",
     "test_serve_eval.py",
     "test_datagen.py",
+    "test_models.py",
 }
+
+# individually compile-heavy tests in otherwise-fast modules (measured with
+# --durations; the rest of each module stays in the fast tier)
+SLOW_NODES = (
+    "test_checkpoint.py::test_train_loop_smoke",
+    "test_checkpoint.py::test_restore_into_train_state",
+    "test_system.py::test_load_detector_roundtrip",
+    "test_scene_gen.py::test_scene_sample",
+    "test_scene_gen.py::test_scene_obb_labels",
+    "test_scene_gen.py::test_yolo_dataset_writer",
+    "test_scene_gen.py::test_scene_random_return_cards",
+    "test_orient.py::test_refine_corners_beats_coarse",
+    "test_ops_warp.py::TestDewarpPallas",
+    "test_ops_warp.py::TestDewarpTwoPass::test_matches_gather_warp",
+)
 
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
-        if item.path.name in SLOW_FILES:
+        tail = item.nodeid.split("/")[-1]
+        if item.path.name in SLOW_FILES or tail.startswith(SLOW_NODES):
             item.add_marker(pytest.mark.slow)
 
 
