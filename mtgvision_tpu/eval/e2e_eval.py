@@ -52,6 +52,11 @@ class E2EStats:
     n_fp: int = 0  # valid detections with no assigned GT
     n_bg_frames: int = 0  # frames with zero GT cards (ratio_bg scenes)
     n_bg_fp: int = 0  # false positives on those pure-background frames
+    # edge-clipped split: GT quads extending past the frame border (the
+    # reference's active training regime places cards up to half off-frame;
+    # their recall is reported separately because partial visibility bounds it)
+    n_gt_clipped: int = 0
+    n_detected_clipped: int = 0
 
     @property
     def recall(self) -> float:
@@ -68,6 +73,16 @@ class E2EStats:
     @property
     def bg_fp_per_frame(self) -> float:
         return self.n_bg_fp / max(self.n_bg_frames, 1)
+
+    @property
+    def recall_clipped(self) -> float:
+        return self.n_detected_clipped / max(self.n_gt_clipped, 1)
+
+    @property
+    def recall_unclipped(self) -> float:
+        return (self.n_detected - self.n_detected_clipped) / max(
+            self.n_gt - self.n_gt_clipped, 1
+        )
 
     @property
     def top1(self) -> float:
@@ -176,12 +191,19 @@ def evaluate_e2e(
         if not gt:
             stats.n_bg_frames += 1
             stats.n_bg_fp += n_fp_frame
+        h_img, w_img = np.asarray(s).shape[:2]
         for gi, (card, m) in enumerate(gt):
             stats.n_gt += 1
             quad = quads[gi]
             idable = poly_area(quad) >= idable_area_px
+            clipped = bool(
+                (quad[:, 0] < 0).any() or (quad[:, 1] < 0).any()
+                or (quad[:, 0] > w_img).any() or (quad[:, 1] > h_img).any()
+            )
             if idable:
                 stats.n_gt_idable += 1
+            if clipped:
+                stats.n_gt_clipped += 1
             best = assign.get(gi)
             if best is None:
                 if details is not None:
@@ -189,11 +211,14 @@ def evaluate_e2e(
                         "detected": False, "rank": -1, "card_id": card.id,
                         "area_px": float(poly_area(quad)),
                         "occluded_frac": _occluded_frac(quad, quads[:gi]),
+                        "edge_clipped": clipped,
                     })
                 continue
             stats.n_detected += 1
             if idable:
                 stats.n_detected_idable += 1
+            if clipped:
+                stats.n_detected_clipped += 1
             err = float(np.linalg.norm(corners[best] - quad, axis=1).mean())
             err_flip = float(
                 np.linalg.norm(np.roll(corners[best], 2, axis=0) - quad, axis=1).mean()
@@ -227,6 +252,7 @@ def evaluate_e2e(
                     "flipped": bool(err_flip < err),
                     "area_px": float(poly_area(quad)),
                     "occluded_frac": _occluded_frac(quad, quads[:gi]),
+                    "edge_clipped": clipped,
                     "score0": float(np.asarray(scores[0, best, 0]))
                     if scores is not None else None,
                 })

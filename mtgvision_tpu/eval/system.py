@@ -259,6 +259,9 @@ def main(argv=None):
         "n_valid_det": stats.n_valid_det, "n_fp": stats.n_fp,
         "bg_fp_per_frame": stats.bg_fp_per_frame,
         "n_bg_frames": stats.n_bg_frames,
+        "recall_clipped": stats.recall_clipped,
+        "recall_unclipped": stats.recall_unclipped,
+        "n_gt_clipped": stats.n_gt_clipped,
     }
     print(json.dumps(rec))
     if args.json_out:
