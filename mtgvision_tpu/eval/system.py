@@ -97,6 +97,7 @@ def build_system(
     refine_head_ckpt: str = "",
     refine_redewarp: bool = False,
     refine_iters: int = 1,
+    refine_head_flip: bool = True,
     box_snap: bool = False,
     top_k: int = 5,
 ):
@@ -150,6 +151,7 @@ def build_system(
         refine_head=rhead, refine_head_vars=rhead_vars,
         refine_redewarp=refine_redewarp,
         refine_iters=refine_iters,
+        refine_head_flip=refine_head_flip,
         box_snap=box_snap,
         # default 5 so reported top-5 metrics are true top-5: the
         # FramePipeline serving default (top_k=3, reference server.py:189)
@@ -183,6 +185,9 @@ def main(argv=None):
                     help="re-dewarp off refined corners before embedding")
     ap.add_argument("--refine-iters", type=int, default=1,
                     help="refine head passes (>1 needs --refine-redewarp y)")
+    ap.add_argument("--refine-head-flip", default="y", choices=("y", "n"),
+                    help="n = head corrects corners only; orientation decided "
+                    "by dual-orientation embedding + index match")
     ap.add_argument("--box-snap", default="n", choices=("y", "n"),
                     help="snap moment-quad scale/center to the amodal box")
     ap.add_argument("--oracle", default="n", choices=("y", "n"),
@@ -229,6 +234,7 @@ def main(argv=None):
         refine_head_ckpt=args.refine_head,
         refine_redewarp=args.refine_redewarp == "y",
         refine_iters=args.refine_iters,
+        refine_head_flip=args.refine_head_flip == "y",
         box_snap=args.box_snap == "y",
     )
     gen = SceneGenerator(

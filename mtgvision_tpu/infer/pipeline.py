@@ -102,6 +102,13 @@ class FramePipeline:
         refine_head_vars=None,
         refine_redewarp: bool = False,
         refine_iters: int = 1,
+        # use the refine head's flip logit as the orientation decision. When
+        # False the head still corrects corners but orientation falls back to
+        # dual-orientation embedding + index matching (both_orientations) —
+        # measured r3: the logit's e2e flip rate collapses on heavy-jitter /
+        # edge-clipped distributions (0.37 on refparity) while match-based
+        # selection stays robust, at the cost of the 2× encoder pass
+        refine_head_flip: bool = True,
         fast_dewarp: bool = True,
         dewarp_impl: str = "auto",  # "pallas" | "xla" | "auto"
         orient_sign: str = "notch",  # "notch" | "extent" (orient.py)
@@ -160,9 +167,11 @@ class FramePipeline:
         self.refine_head_vars = refine_head_vars
         self.refine_redewarp = refine_redewarp
         self.refine_iters = refine_iters
+        self.refine_head_flip = refine_head_flip
         if refine_head is not None:
-            # the refine head's flip logit replaces both disambiguators
-            self.both_orientations = False
+            if refine_head_flip:
+                # the refine head's flip logit replaces both disambiguators
+                self.both_orientations = False
             self.orient_head = None
             self.refine_crop = False
         elif orient_head is not None:
@@ -346,16 +355,17 @@ class FramePipeline:
                     # defaults OFF: the corrected corners still flow to the
                     # output, only the embedding reuses the stage-1 crop.
                     crops = dewarp(corners)
-            flip = flip_logit.reshape(b, self.max_det) > 0.0
-            crops = jnp.where(
-                flip[..., None, None, None],
-                jnp.rot90(crops, 2, axes=(2, 3)),
-                crops,
-            )
-            corners = jnp.where(
-                flip[..., None, None], jnp.roll(corners, 2, axis=2), corners
-            )
-            head_flip = flip
+            if self.refine_head_flip:
+                flip = flip_logit.reshape(b, self.max_det) > 0.0
+                crops = jnp.where(
+                    flip[..., None, None, None],
+                    jnp.rot90(crops, 2, axes=(2, 3)),
+                    crops,
+                )
+                corners = jnp.where(
+                    flip[..., None, None], jnp.roll(corners, 2, axis=2), corners
+                )
+                head_flip = flip
             flat_crops = crops.reshape(b * self.max_det, *self.crop_hw, 3)
         elif self.orient_head is not None:
             # classify + un-rotate BEFORE the encoder: one tiny conv head

@@ -148,6 +148,18 @@ def test_pipeline_with_refine_head():
     assert np.isfinite(np.asarray(out["corners"])).all()
     assert np.isfinite(np.asarray(out["z"])).all()
 
+    # refine_head_flip=False: head corrects corners but orientation falls
+    # back to dual-orientation embedding + match selection
+    pipe2 = FramePipeline(
+        det, det_vars, enc, enc_vars, store=store, max_det=4, crop_hw=(96, 64),
+        top_k=3, refine_head=rhead, refine_head_vars=rh_vars,
+        refine_head_flip=False,
+    )
+    assert pipe2.both_orientations is True
+    out2 = pipe2(frames)
+    assert out2["corners"].shape == (2, 4, 4, 2)
+    assert np.isfinite(np.asarray(out2["z"])).all()
+
 
 def test_make_refine_batch_occluded():
     """p_occlude>0 keeps shapes/labels and composites extra card pixels."""
