@@ -108,26 +108,28 @@ def main():
         t_start = time.perf_counter()
         compile_budget_s = 1500.0
         built: set = set()
-        # batch/layout are passed EXPLICITLY in every config so the memo key
-        # below can never drift from bench_e2e's defaults (ADVICE r2).
+        # batch/layout/frame_dtype are passed EXPLICITLY in every config so
+        # the memo key below can never drift from bench_e2e's defaults
+        # (ADVICE r2). The r3 sweep found the winners: batch is the big lever
+        # (serving 64-96 frames/batch amortizes per-program overhead; 128
+        # collapses under HBM pressure — 344 fps), bf16/u8 frame ingest cuts
+        # frame-read bandwidth, chains saturate at ~4. Full curve (v5e-1):
+        # b8 3prog c2 = 335 · b16 2prog c4 = 433 · b32f = 446 · b64f = 495 ·
+        # b96f = 550 · b128f = 345. The list keeps one config per regime so
+        # a cold-cache driver run still finishes inside the compile budget.
         for name, kw in [
             ("3prog_c2", {"batch": 8, "layout": "3prog"}),
-            ("3prog_c4", {"batch": 8, "layout": "3prog", "chains": 4}),
-            ("2prog_c4", {"batch": 8, "layout": "2prog", "chains": 4}),
-            ("fused_c4", {"batch": 8, "layout": "fused", "chains": 4}),
-            ("b16_c4", {"batch": 16, "layout": "3prog", "chains": 4}),
             ("b16_2prog_c4", {"batch": 16, "layout": "2prog", "chains": 4}),
-            ("b16_2prog_c8", {"batch": 16, "layout": "2prog", "chains": 8}),
-            ("b16_fused_c4", {"batch": 16, "layout": "fused", "chains": 4}),
-            ("b16_fused_c8", {"batch": 16, "layout": "fused", "chains": 8}),
-            ("b32_2prog_c4", {"batch": 32, "layout": "2prog", "chains": 4}),
-            ("b32_2prog_c8", {"batch": 32, "layout": "2prog", "chains": 8}),
-            ("b32_fused_c4", {"batch": 32, "layout": "fused", "chains": 4}),
-            ("b32_fused_c8", {"batch": 32, "layout": "fused", "chains": 8}),
-            ("b16f_2prog_c8", {"batch": 16, "layout": "2prog", "chains": 8,
-                               "frame_dtype": "bf16"}),
             ("b32f_2prog_c8", {"batch": 32, "layout": "2prog", "chains": 8,
                                "frame_dtype": "bf16"}),
+            ("b64f_2prog_c8", {"batch": 64, "layout": "2prog", "chains": 8,
+                               "frame_dtype": "bf16"}),
+            ("b96f_2prog_c4", {"batch": 96, "layout": "2prog", "chains": 4,
+                               "frame_dtype": "bf16"}),
+            ("b96f_2prog_c8", {"batch": 96, "layout": "2prog", "chains": 8,
+                               "frame_dtype": "bf16"}),
+            ("b96u_2prog_c8", {"batch": 96, "layout": "2prog", "chains": 8,
+                               "frame_dtype": "u8"}),
         ]:
             key = (kw["batch"], kw["layout"], kw.get("frame_dtype", "f32"))
             is_new_compile = key not in built

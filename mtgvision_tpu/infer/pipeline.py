@@ -207,11 +207,21 @@ class FramePipeline:
 
     # -- stage 1: detect ----------------------------------------------------
 
+    @staticmethod
+    def _as_float(frames):
+        """uint8 frames → bf16 [0,1]. Serving frames arrive as decoded-JPEG
+        uint8; keeping them u8 in HBM quarters the frame-read bandwidth of
+        the detector stem and every per-crop dewarp vs f32 (XLA fuses the
+        convert into each consumer, so reads pull 1 byte/px)."""
+        if frames.dtype == jnp.uint8:
+            return frames.astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 255.0)
+        return frames
+
     def _detect_stage(self, det_vars, frames):
         return detect(
             det_vars,
             self.detector,
-            frames,
+            self._as_float(frames),
             max_det=self._det_slots,
             score_thresh=self.score_thresh,
         )
@@ -270,6 +280,7 @@ class FramePipeline:
         return (*out, take(boxes), take(scores), take(classes), take(masks))
 
     def _embed_from_corners(self, enc_vars, frames, corners, ok):
+        frames = self._as_float(frames)
         b = frames.shape[0]
 
         def dewarp(corners_):
@@ -661,11 +672,12 @@ def build_e2e_pipeline(
     max_det: int = 8,
     seed: int = 0,
     layout: str = "3prog",  # "3prog" | "2prog" | "fused"
-    # frame ingest dtype: bf16 halves the HBM traffic of every frame-sized
-    # read (detector stem + per-crop dewarp resamples) at no accuracy cost —
-    # the detector casts to bf16 internally anyway and crops re-enter the
-    # bf16 encoder
-    frame_dtype: str = "f32",  # "f32" | "bf16"
+    # frame ingest dtype: bf16 halves and u8 quarters the HBM traffic of
+    # every frame-sized read (detector stem + per-crop dewarp resamples) at
+    # no accuracy cost — the detector casts to bf16 internally anyway and
+    # crops re-enter the bf16 encoder. u8 is also the realistic serving
+    # input (decoded JPEG) and quarters host→device transfer.
+    frame_dtype: str = "f32",  # "f32" | "bf16" | "u8"
 ):
     """Random-weight pipeline at deployment sizes (YOLO11-s + ConvNeXtV2 nano,
     od_train.py:138-151 / encoder_export.py:23-26) for throughput benchmarks."""
@@ -709,6 +721,8 @@ def build_e2e_pipeline(
     frames = jax.random.uniform(jax.random.PRNGKey(2), (batch, *frame_hw, 3))
     if frame_dtype == "bf16":
         frames = frames.astype(jnp.bfloat16)
+    elif frame_dtype == "u8":
+        frames = (frames * 255.0).astype(jnp.uint8)
     return run, frames
 
 
