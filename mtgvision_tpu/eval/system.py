@@ -84,6 +84,7 @@ def build_system(
     enc_ckpt: str,
     catalog=None,
     det_size: str = "s",
+    det_kind: str = "seg",  # "seg" | "obb" (3 keypoint classes)
     enc_model: str = "cnvnxt2ae_atto",
     max_det: int = 8,
     score_thresh: float = 0.25,
@@ -111,7 +112,9 @@ def build_system(
     if catalog is None:
         catalog = ProceduralCatalog(n_cards=512)
 
-    det, det_vars = load_detector(det_ckpt, size=det_size)
+    det, det_vars = load_detector(
+        det_ckpt, size=det_size, num_classes=3 if det_kind == "obb" else 1
+    )
     enc, enc_vars = load_encoder(enc_ckpt, model_name=enc_model)
 
     # params ride as a jit ARGUMENT — closing over them bakes multi-MB
@@ -143,6 +146,7 @@ def build_system(
 
     pipe = FramePipeline(
         det, det_vars, enc, enc_vars, store=store,
+        det_kind=det_kind,
         max_det=max_det, score_thresh=score_thresh,
         refine=refine, refine_crop=refine_crop,
         both_orientations=both_orientations,
@@ -170,6 +174,7 @@ def main(argv=None):
     ap.add_argument("--det", required=True, help="detector checkpoint dir")
     ap.add_argument("--enc", required=True, help="encoder checkpoint dir")
     ap.add_argument("--det-size", default="s")
+    ap.add_argument("--det-kind", default="seg", choices=("seg", "obb"))
     ap.add_argument("--enc-model", default="cnvnxt2ae_atto")
     ap.add_argument("--n-cards", type=int, default=512)
     ap.add_argument("--n-scenes", type=int, default=40)
@@ -223,7 +228,7 @@ def main(argv=None):
     catalog = ProceduralCatalog(n_cards=args.n_cards)
     pipe, _ = build_system(
         args.det, args.enc, catalog,
-        det_size=args.det_size, enc_model=args.enc_model,
+        det_size=args.det_size, det_kind=args.det_kind, enc_model=args.enc_model,
         score_thresh=args.score_thresh,
         refine=args.refine == "y",
         refine_crop=args.refine_crop == "y",
