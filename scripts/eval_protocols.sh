@@ -24,8 +24,14 @@ ENC=${2:-artifacts_r2/enc_long}
 RH=${3:-ckpts_refine_r3}
 OUT=${4:-artifacts_r3}
 mkdir -p "$OUT"
+# --refine-head-flip n = quality-first serving config (head corrects corners,
+# dual-orientation embedding + index match decides 180° orientation): measured
+# r3, the head's flip logit collapses off-distribution (refparity flip 0.37 →
+# 0.30, refdist 0.11 → 0.033, top-1 0.835 → 0.901) while costing only the 2×
+# encoder pass. The throughput-first config drops the flag (bench.py).
 COMMON=(--det "$DET" --enc "$ENC" --enc-model cnvnxt2ae_nano --n-scenes 40
-        --refine-head "$RH" --refine-redewarp y --refine-iters 3)
+        --refine-head "$RH" --refine-redewarp y --refine-iters 3
+        --refine-head-flip n)
 
 python -m mtgvision_tpu.eval.system "${COMMON[@]}" \
   --n-cards 1024 --min-area-ratio 0.08 --max-cards 4 \
