@@ -19,9 +19,9 @@ set -euo pipefail
 # persist compiles across the five invocations (each is a fresh process;
 # over the tunneled TPU an uncached compile costs ~90 s+ of service latency)
 export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/root/repo/.jax_cache}"
-DET=${1:-ckpts_od_r3}
+DET=${1:-artifacts_r3/det_seg}
 ENC=${2:-artifacts_r2/enc_long}
-RH=${3:-ckpts_refine_r3}
+RH=${3:-artifacts_r3/refine_head}
 OUT=${4:-artifacts_r3}
 mkdir -p "$OUT"
 # --refine-head-flip n = quality-first serving config (head corrects corners,
