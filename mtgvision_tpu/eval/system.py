@@ -88,6 +88,7 @@ def build_system(
     enc_model: str = "cnvnxt2ae_atto",
     max_det: int = 8,
     score_thresh: float = 0.25,
+    iou_thresh: float = 0.45,
     populate_batch: int = 64,
     refine: bool = False,
     refine_crop: bool = True,
@@ -147,7 +148,7 @@ def build_system(
     pipe = FramePipeline(
         det, det_vars, enc, enc_vars, store=store,
         det_kind=det_kind,
-        max_det=max_det, score_thresh=score_thresh,
+        max_det=max_det, score_thresh=score_thresh, iou_thresh=iou_thresh,
         refine=refine, refine_crop=refine_crop,
         both_orientations=both_orientations,
         fast_dewarp=fast_dewarp, orient_sign=orient_sign,
@@ -179,6 +180,9 @@ def main(argv=None):
     ap.add_argument("--n-cards", type=int, default=512)
     ap.add_argument("--n-scenes", type=int, default=40)
     ap.add_argument("--score-thresh", type=float, default=0.25)
+    ap.add_argument("--iou-thresh", type=float, default=0.45,
+                    help="NMS box-IoU threshold (overlapping rotated cards "
+                    "can exceed 0.45 while quads barely intersect)")
     ap.add_argument("--max-cards", type=int, default=4)
     ap.add_argument("--json-out", default=None)
     ap.add_argument("--details-out", default=None,
@@ -230,6 +234,7 @@ def main(argv=None):
         args.det, args.enc, catalog,
         det_size=args.det_size, det_kind=args.det_kind, enc_model=args.enc_model,
         score_thresh=args.score_thresh,
+        iou_thresh=args.iou_thresh,
         refine=args.refine == "y",
         refine_crop=args.refine_crop == "y",
         both_orientations=args.both_orientations == "y",

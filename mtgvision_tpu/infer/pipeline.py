@@ -81,6 +81,12 @@ class FramePipeline:
         crop_hw: tuple[int, int] = (192, 128),
         top_k: int = 3,
         score_thresh: float = 0.25,
+        # NMS suppression threshold on axis-aligned boxes. Overlapping
+        # ROTATED cards can exceed 0.45 box-IoU while their quads barely
+        # intersect (the scene generator allows ≤50% polygon overlap), so
+        # multicard serving may want this higher than the single-object
+        # default — measured on the headline protocol (artifacts_r3).
+        iou_thresh: float = 0.45,
         both_orientations: bool = True,
         # refine_corners measured on PREDICTED masks (scripts/orient_diag.py,
         # artifacts_r2): quad err 11.28 → 11.6 px, e2e top-1 0.52 → 0.45 — the
@@ -150,6 +156,7 @@ class FramePipeline:
         self.crop_hw = crop_hw
         self.top_k = top_k
         self.score_thresh = score_thresh
+        self.iou_thresh = iou_thresh
         self.both_orientations = both_orientations
         self.refine = refine
         self.refine_crop = refine_crop
@@ -223,6 +230,7 @@ class FramePipeline:
             self.detector,
             self._as_float(frames),
             max_det=self._det_slots,
+            iou_thresh=self.iou_thresh,
             score_thresh=self.score_thresh,
         )
 

@@ -1,0 +1,109 @@
+"""Full-system e2e over the REAL data path at fixture scale: ScryfallCatalog
+(bulk.json records + root/images/{id}.jpg cache dir, the reference's layout —
+mtgvision/encoder_datasets.py:515-668) → index populate with real payload
+metadata → scene generation → detect→orient→rectify→embed→match → scored
+artifact.
+
+This container is zero-egress, so card FACES are rendered deterministically
+per card id (same trick as tests/test_scryfall.py) and written as JPEG so the
+run exercises the native libjpeg decode path — everything else (bulk parsing,
+id/name/set indexes, image-dir loading, payload population, the whole serving
+pipeline) is exactly what a real Scryfall dump would hit. Swap in a real
+``bulk.json`` + scan images and the command is unchanged:
+
+    python scripts/e2e_scryfall_fixture.py --det artifacts_r3/det_seg \
+        --enc artifacts_r2/enc_long --out artifacts_r3/e2e_scryfall_fixture.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import pathlib
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def _render_face(card_id: str, hw=(360, 256)) -> np.ndarray:
+    """Unique deterministic face per id (distinct enough to retrieve)."""
+    seed = int.from_bytes(hashlib.sha256(card_id.encode()).digest()[:4], "little")
+    rng = np.random.default_rng(seed)
+    h, w = hw
+    yy, xx = np.meshgrid(np.linspace(0, 1, h), np.linspace(0, 1, w), indexing="ij")
+    img = np.zeros((h, w, 3), np.float32)
+    for _ in range(5):
+        fy, fx, ph = rng.uniform(0.5, 7, 3)
+        img += rng.random(3).astype(np.float32) * (
+            0.5 + 0.5 * np.sin(fy * yy * 6.28 + fx * xx * 6.28 + ph)
+        )[..., None]
+    return np.clip(img / img.max(), 0, 1).astype(np.float32)
+
+
+def build_root(work: pathlib.Path, bulk_src: pathlib.Path) -> pathlib.Path:
+    work.mkdir(parents=True, exist_ok=True)
+    (work / "bulk.json").write_text(bulk_src.read_text())
+    imgdir = work / "images"
+    imgdir.mkdir(exist_ok=True)
+    from PIL import Image
+
+    for rec in json.loads(bulk_src.read_text()):
+        p = imgdir / f"{rec['id']}.jpg"
+        if not p.exists():
+            arr = (_render_face(rec["id"]) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(p, quality=92)
+    return work
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--det", default="artifacts_r3/det_seg")
+    ap.add_argument("--enc", default="artifacts_r2/enc_long")
+    ap.add_argument("--enc-model", default="cnvnxt2ae_nano")
+    ap.add_argument("--refine-head", default="artifacts_r3/refine_head")
+    ap.add_argument("--bulk", default="tests/fixtures/scryfall/bulk.json")
+    ap.add_argument("--work", default=".run/scryfall_fixture")
+    ap.add_argument("--n-scenes", type=int, default=20)
+    ap.add_argument("--out", default="artifacts_r3/e2e_scryfall_fixture.json")
+    args = ap.parse_args(argv)
+
+    from mtgvision_tpu.data.catalog import ProceduralBackgrounds, ScryfallCatalog
+    from mtgvision_tpu.data.scene_gen import SceneGenerator
+    from mtgvision_tpu.eval.e2e_eval import evaluate_e2e
+    from mtgvision_tpu.eval.system import build_system
+
+    root = build_root(pathlib.Path(args.work), pathlib.Path(args.bulk))
+    catalog = ScryfallCatalog(root)
+    pipe, _ = build_system(
+        args.det, args.enc, catalog, enc_model=args.enc_model,
+        refine_head_ckpt=args.refine_head, refine_redewarp=True,
+        refine_iters=3, refine_head_flip=False,
+    )
+    # real-metadata payloads must have made it into the store
+    sample = pipe.store.retrieve([next(iter(catalog)).id])[0]
+    assert sample.payload and "name" in sample.payload, sample.payload
+
+    gen = SceneGenerator(
+        catalog, ProceduralBackgrounds(), num_cards_min=1, num_cards_max=2,
+        card_min_area_ratio=0.10, seed=0,
+    )
+    stats = evaluate_e2e(pipe, gen, n_scenes=args.n_scenes)
+    print(stats)
+    rec = {
+        "catalog": "ScryfallCatalog", "n_index": len(pipe.store),
+        "bulk": str(args.bulk), "payload_sample": sample.payload,
+        "recall": stats.recall, "precision": stats.precision,
+        "top1": stats.top1, "top5": stats.top5,
+        "corner_err_px": stats.mean_corner_err, "flip_rate": stats.flip_rate,
+        "n_gt": stats.n_gt, "n_detected": stats.n_detected,
+    }
+    print(json.dumps(rec))
+    pathlib.Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+    pathlib.Path(args.out).write_text(json.dumps(rec, indent=1))
+
+
+if __name__ == "__main__":
+    main()
