@@ -18,7 +18,6 @@ pipeline) is exactly what a real Scryfall dump would hit. Swap in a real
 from __future__ import annotations
 
 import argparse
-import hashlib
 import json
 import pathlib
 import sys
@@ -28,22 +27,14 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 
 
-def _render_face(card_id: str, hw=(360, 256)) -> np.ndarray:
-    """Unique deterministic face per id (distinct enough to retrieve)."""
-    seed = int.from_bytes(hashlib.sha256(card_id.encode()).digest()[:4], "little")
-    rng = np.random.default_rng(seed)
-    h, w = hw
-    yy, xx = np.meshgrid(np.linspace(0, 1, h), np.linspace(0, 1, w), indexing="ij")
-    img = np.zeros((h, w, 3), np.float32)
-    for _ in range(5):
-        fy, fx, ph = rng.uniform(0.5, 7, 3)
-        img += rng.random(3).astype(np.float32) * (
-            0.5 + 0.5 * np.sin(fy * yy * 6.28 + fx * xx * 6.28 + ph)
-        )[..., None]
-    return np.clip(img / img.max(), 0, 1).astype(np.float32)
-
-
 def build_root(work: pathlib.Path, bulk_src: pathlib.Path) -> pathlib.Path:
+    """Render each bulk record a deterministic CARD-STRUCTURED face (frame +
+    art + title + text box, the ProceduralCatalog renderer keyed by the real
+    id/name/set) so the detector sees in-domain card geometry — the run
+    measures the ScryfallCatalog data path, not pixel-domain transfer."""
+    from mtgvision_tpu.data.catalog import Card, ProceduralCatalog
+
+    renderer = ProceduralCatalog(n_cards=1)
     work.mkdir(parents=True, exist_ok=True)
     (work / "bulk.json").write_text(bulk_src.read_text())
     imgdir = work / "images"
@@ -53,7 +44,8 @@ def build_root(work: pathlib.Path, bulk_src: pathlib.Path) -> pathlib.Path:
     for rec in json.loads(bulk_src.read_text()):
         p = imgdir / f"{rec['id']}.jpg"
         if not p.exists():
-            arr = (_render_face(rec["id"]) * 255).astype(np.uint8)
+            card = Card(id=rec["id"], name=rec["name"], set_code=rec["set"])
+            arr = (renderer.get_image(card) * 255).astype(np.uint8)
             Image.fromarray(arr).save(p, quality=92)
     return work
 
