@@ -139,17 +139,21 @@ def main():
                 print(f"{name} skipped (deadline: {elapsed:.0f}s elapsed)",
                       file=sys.stderr)
                 continue
-            # mark the (batch, layout) pair built BEFORE measuring: the
-            # compiled pipeline is memoized inside bench_e2e as soon as
-            # build succeeds, so a later failure during measurement must not
-            # re-classify same-key configs as new compiles (ADVICE r2)
-            built.add(key)
             try:
                 results[name] = bench_e2e(**kw)
             except Exception as e:
                 print(f"{name} failed ({type(e).__name__}: {e})",
                       file=sys.stderr)
                 results[name] = 0.0
+            # mark the (batch, layout) pair built only once the compiled
+            # pipeline actually landed in bench_e2e's memo: a failure during
+            # MEASUREMENT must not re-classify same-key configs as new
+            # compiles (ADVICE r2), but a failure during BUILD (e.g. OOM)
+            # must not let a later same-key config bypass the compile-budget
+            # deadline and pay a full unbudgeted compile (ADVICE r3)
+            from mtgvision_tpu.infer.pipeline import _BENCH_PIPES
+            if key in _BENCH_PIPES:
+                built.add(key)
         fps = max(results.values())
         if fps <= 0.0:
             # every config failed — that's a benchmark failure, not a

@@ -21,6 +21,21 @@ import dataclasses
 import numpy as np
 
 from mtgvision_tpu.data.scene_gen import SceneGenerator, apply_m, card_bbox
+from mtgvision_tpu.ops.polygon import clip_poly
+
+
+def _poly_centroid(pts: np.ndarray) -> np.ndarray:
+    """Area centroid of a simple polygon (vertex mean is biased for the
+    uneven vertex spacing clip_poly produces)."""
+    x, y = pts[:, 0], pts[:, 1]
+    xn, yn = np.roll(x, -1), np.roll(y, -1)
+    cross = x * yn - xn * y
+    a = cross.sum() / 2.0
+    if abs(a) < 1e-9:
+        return pts.mean(0)
+    cx = ((x + xn) * cross).sum() / (6.0 * a)
+    cy = ((y + yn) * cross).sum() / (6.0 * a)
+    return np.asarray([cx, cy])
 
 
 @dataclasses.dataclass
@@ -163,6 +178,24 @@ def evaluate_e2e(
         # scene_gen.compose_scene): card i is occluded by quads j < i
         quads = [apply_m(card_bbox(card_hw), m) for _, m in gt]
         det_centroids = corners.mean(1)  # (D, 2)
+        # match against the centroid of the VISIBLE (frame-clipped) region:
+        # a card half off-frame has its amodal centroid near (or past) the
+        # border while any honest detection centers on the visible part —
+        # with amodal centroids the pair exceeds match_dist, double-counting
+        # one real detection as a miss AND a false positive (r3 refparity:
+        # fp/frame 0.575 was mostly this artifact). Corner error below still
+        # scores against the full amodal quad. Fully off-frame GT keeps its
+        # amodal centroid (nothing visible to detect).
+        h_img, w_img = np.asarray(s).shape[:2]
+        frame_rect = np.asarray(
+            [[0.0, 0.0], [w_img, 0.0], [w_img, h_img], [0.0, h_img]], np.float64
+        )
+        vis_centroids = []
+        for q in quads:
+            vis = clip_poly(np.asarray(q, np.float64), frame_rect)
+            vis_centroids.append(
+                _poly_centroid(vis) if len(vis) >= 3 else q.mean(0)
+            )
         # globally nearest-pair assignment: sort all (GT, detection) pairs
         # under match_dist by distance and take them greedily, so a detection
         # goes to its closest GT card — per-GT greed in placement order could
@@ -170,7 +203,7 @@ def evaluate_e2e(
         # one and misattribute both scores
         pairs = []
         for gi in range(len(gt)):
-            c = quads[gi].mean(0)
+            c = vis_centroids[gi]
             for d in np.where(valid)[0]:
                 dist = float(np.linalg.norm(det_centroids[d] - c))
                 if dist < match_dist:
@@ -191,7 +224,6 @@ def evaluate_e2e(
         if not gt:
             stats.n_bg_frames += 1
             stats.n_bg_fp += n_fp_frame
-        h_img, w_img = np.asarray(s).shape[:2]
         for gi, (card, m) in enumerate(gt):
             stats.n_gt += 1
             quad = quads[gi]

@@ -279,6 +279,15 @@ def main(argv=None):
         "recall_unclipped": stats.recall_unclipped,
         "n_gt_clipped": stats.n_gt_clipped,
     }
+    if args.oracle == "y":
+        # evaluate_oracle never populates the FP/precision/bg/clipped
+        # counters (recall is 1.0 by construction, there are no unmatched
+        # detections); serializing their zero defaults reads as a
+        # catastrophic false-positive rate on an otherwise-perfect run
+        for k in ("precision", "fp_per_frame", "n_valid_det", "n_fp",
+                  "bg_fp_per_frame", "n_bg_frames", "recall_clipped",
+                  "recall_unclipped", "n_gt_clipped"):
+            rec[k] = None
     print(json.dumps(rec))
     if args.json_out:
         pathlib.Path(args.json_out).write_text(json.dumps(rec))

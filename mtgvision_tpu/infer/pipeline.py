@@ -428,9 +428,14 @@ class FramePipeline:
 
     # -- stage 3: match + orientation selection ------------------------------
 
-    def _match_select_stage(self, z, corners, index_mat):
+    def _match_select_stage(self, z, corners, index_mat, n_valid=None):
         """(n_or,B,D,Z) embeddings + corners + index → per-detection match
-        results with the better-scoring orientation selected (n_or == 2)."""
+        results with the better-scoring orientation selected (n_or == 2).
+
+        ``n_valid`` (traced scalar): real row count of ``index_mat`` — the
+        store pads with zero rows (capacity growth / mesh sharding) and a
+        zero row can win the top-k when every real score is <= 0, surfacing
+        an out-of-range match_idx to consumers (ADVICE r3)."""
         n_or, b, d, _ = z.shape
         q = z.reshape(n_or * b * d, -1)
         if self.mesh is not None:
@@ -438,9 +443,11 @@ class FramePipeline:
 
             # NaN-query sanitation matches cosine_topk (degenerate crops)
             q = jnp.nan_to_num(q)
-            ms, mi = cosine_topk_sharded(q, index_mat, k=self.top_k, mesh=self.mesh)
+            ms, mi = cosine_topk_sharded(
+                q, index_mat, k=self.top_k, mesh=self.mesh, n_valid=n_valid
+            )
         else:
-            ms, mi = cosine_topk(q, index_mat, k=self.top_k)
+            ms, mi = cosine_topk(q, index_mat, k=self.top_k, n_valid=n_valid)
         ms = ms.reshape(n_or, b, d, self.top_k)
         mi = mi.reshape(n_or, b, d, self.top_k)
         if n_or == 1:
@@ -463,6 +470,12 @@ class FramePipeline:
         z_sel = jnp.where(flipped[..., None], z[1], z[0])
         return match_scores, match_idx, corners, flipped, z_sel
 
+    def _index_n_valid(self, index_mat):
+        """Real-row count for a padded index matrix (traced scalar)."""
+        if self.store is not None and len(self.store):
+            return jnp.asarray(len(self.store), jnp.int32)
+        return jnp.asarray(index_mat.shape[0], jnp.int32)
+
     # -- chained execution (arrays stay on device between stages) -----------
 
     def run(self, frames, index_mat=None):
@@ -483,7 +496,7 @@ class FramePipeline:
         z_sel = z[0]
         if index_mat is not None:
             match_scores, match_idx, corners, m_flip, z_sel = self._match_select(
-                z, corners, index_mat
+                z, corners, index_mat, self._index_n_valid(index_mat)
             )
             flipped = flipped ^ m_flip
         return {
@@ -529,7 +542,7 @@ class FramePipeline:
         deployment. Requires a store matrix (match runs inside the program).
         """
         if self._fused is None:
-            def fused(det_vars, enc_vars, frames_, mat):
+            def fused(det_vars, enc_vars, frames_, mat, nv):
                 boxes, scores, classes, masks, valid = self._detect_stage(
                     det_vars, frames_
                 )
@@ -543,7 +556,7 @@ class FramePipeline:
                         enc_vars, frames_, masks, valid, boxes
                     )
                 ms, mi, corners, m_flip, z_sel = self._match_select_stage(
-                    z, corners, mat
+                    z, corners, mat, nv
                 )
                 return {
                     "boxes": boxes,
@@ -560,7 +573,10 @@ class FramePipeline:
                 }
 
             self._fused = jax.jit(fused)
-        return self._fused(self.det_variables, self.enc_variables, frames, index_mat)
+        return self._fused(
+            self.det_variables, self.enc_variables, frames, index_mat,
+            self._index_n_valid(index_mat),
+        )
 
     def run_2prog(self, frames, index_mat):
         """Two-program layout: detect stays its own dispatch (its HLO is the
@@ -574,19 +590,20 @@ class FramePipeline:
         if self.det_kind != "seg":
             raise ValueError("run_2prog supports det_kind='seg' only")
         if self._re_match is None:
-            def re_match(enc_vars, frames_, masks, valid, boxes, mat):
+            def re_match(enc_vars, frames_, masks, valid, boxes, mat, nv):
                 crops, corners, ok, z, head_flip = self._rectify_embed_stage(
                     enc_vars, frames_, masks, valid, boxes
                 )
                 ms, mi, corners, m_flip, z_sel = self._match_select_stage(
-                    z, corners, mat
+                    z, corners, mat, nv
                 )
                 return crops, corners, ok, z_sel, head_flip ^ m_flip, ms, mi
 
             self._re_match = jax.jit(re_match)
         boxes, scores, classes, masks, valid = self._detect(self.det_variables, frames)
         crops, corners, ok, z_sel, flipped, ms, mi = self._re_match(
-            self.enc_variables, frames, masks, valid, boxes, index_mat
+            self.enc_variables, frames, masks, valid, boxes, index_mat,
+            self._index_n_valid(index_mat),
         )
         return {
             "boxes": boxes,
@@ -620,7 +637,7 @@ class FramePipeline:
         z_sel = z[0]
         if index_mat is not None:
             match_scores, match_idx, corners, m_flip, z_sel = self._match_select(
-                z, corners, index_mat
+                z, corners, index_mat, self._index_n_valid(index_mat)
             )
             flipped = flipped ^ m_flip
         return {

@@ -87,12 +87,17 @@ def cosine_topk(
     db: jnp.ndarray,
     k: int,
     normalized: bool = True,
+    n_valid: jnp.ndarray | int | None = None,
 ):
     """Top-k cosine similarity of (B, D) queries against an (N, D) database.
 
     ``db`` should be pre-normalized (store it that way — see VectorStore);
     queries are always normalized here. The matmul runs in bf16 on the MXU with
     float32 accumulation (preferred_element_type), scores stay f32.
+
+    ``n_valid``: rows >= n_valid are capacity/shard padding (zero vectors);
+    masking them to -inf keeps them out of the top-k even when every real
+    score is <= 0 (see cosine_topk_sharded).
 
     Returns (scores (B,k) f32, indices (B,k) i32).
     """
@@ -105,6 +110,9 @@ def cosine_topk(
         d.astype(jnp.bfloat16).T,
         preferred_element_type=jnp.float32,
     )
+    if n_valid is not None:
+        col = jnp.arange(scores.shape[1], dtype=jnp.int32)[None, :]
+        scores = jnp.where(col < n_valid, scores, -jnp.inf)
     v, i = topk_scores(scores, k)
     # bf16 rounding of unit vectors can push a perfect match ~0.3% above 1.0;
     # clamp so cosine-score semantics (≤ 1.0, thresholds) stay exact
@@ -117,6 +125,7 @@ def cosine_topk_sharded(
     k: int,
     mesh,
     axis: str | None = None,
+    n_valid: jnp.ndarray | int | None = None,
 ):
     """Multi-chip exact top-k: database rows sharded over a 1-D mesh.
 
@@ -128,6 +137,14 @@ def cosine_topk_sharded(
 
     ``db_sharded``: (N, D) with N sharded on ``axis``; returns global row
     indices.
+
+    ``n_valid``: number of REAL database rows. The store pads its matrix
+    with zero rows up to a multiple of the mesh size; a zero row scores
+    exactly 0, so when every real cosine score for a query is <= 0 a padded
+    row could enter the top-k and surface an out-of-range index to
+    consumers. Masking those rows to -inf here makes that impossible
+    (ADVICE r3); when k > n_valid the overflow slots still carry index >=
+    n_valid, which callers already treat as empty.
     """
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
@@ -137,16 +154,19 @@ def cosine_topk_sharded(
     n_total = db_sharded.shape[0]
     shard_rows = n_total // n_dev
 
-    def local(q, db_local):
+    def local(q, db_local, nv):
         qn = l2_normalize(q.astype(jnp.float32))
         scores = jnp.dot(
             qn.astype(jnp.bfloat16),
             db_local.astype(jnp.bfloat16).T,
             preferred_element_type=jnp.float32,
         )
+        shard_id = jax.lax.axis_index(axis)
+        row_global = shard_id * shard_rows + jnp.arange(shard_rows, dtype=jnp.int32)
+        if nv is not None:
+            scores = jnp.where(row_global[None, :] < nv, scores, -jnp.inf)
         v, i = topk_scores(scores, k)
         # local → global row indices
-        shard_id = jax.lax.axis_index(axis)
         i = i + shard_id * shard_rows
         # gather all shards' candidates: (B, n_dev·k) each
         v_all = jax.lax.all_gather(v, axis, axis=1, tiled=True)
@@ -154,14 +174,23 @@ def cosine_topk_sharded(
         vf, sel = lax.top_k(v_all, k)
         return jnp.clip(vf, -1.0, 1.0), jnp.take_along_axis(i_all, sel, axis=1)
 
+    if n_valid is None:
+        fn = shard_map(
+            lambda q, db: local(q, db, None),
+            mesh=mesh,
+            in_specs=(P(), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return fn(queries, db_sharded)
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(axis)),
+        in_specs=(P(), P(axis), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return fn(queries, db_sharded)
+    return fn(queries, db_sharded, jnp.asarray(n_valid, jnp.int32))
 
 
 # ---------------------------------------------------------------------------

@@ -66,6 +66,18 @@ class RefineConfig:
     label_clip: float = 21.0
     # probability the crop contains a partially-covering neighbour card
     p_occlude: float = 0.3
+    # probability the crop simulates a FRAME-EDGE-CLIPPED card (the
+    # reference's ACTIVE training regime places cards up to half off-frame,
+    # od_datasets.py:861-873). The serving dewarp samples past the frame
+    # border with CLAMPED bilinear lookups (ops/warp.bilinear_sample), so the
+    # crop shows the boundary line smeared outward from where the frame edge
+    # cuts the card. Reproducing that appearance trains (a) the flip logit to
+    # stay calibrated on partial cards — measured r3: it collapsed to 0.37
+    # e2e flip on the refparity protocol while full-card flip was 0.03 — and
+    # (b) amodal corner completion: the quad label is unchanged, so the head
+    # learns to extrapolate the card's geometry past the clip line from the
+    # visible edges + fixed aspect.
+    p_edgeclip: float = 0.0
     # probability the crop simulates a LOW-SOURCE-RESOLUTION card. Serving
     # dewarps of small frame quads are blurry bilinear upsamples (a 700 px²
     # card is ~26 px wide in frame vs the 128 px crop, ~5x magnification);
@@ -90,7 +102,8 @@ class RefineTrainState(struct.PyTreeNode):
 def make_refine_batch(key, card_pool_u8, bg_pool_u8, batch_size, size_hw,
                       sigma_min=0.5, sigma_max=9.0, shift_sigma=4.0,
                       p_occlude=0.0, p_heavy=0.0, heavy_sigma_max=18.0,
-                      heavy_shift_sigma=14.0, label_clip=None, p_lowres=0.0):
+                      heavy_shift_sigma=14.0, label_clip=None, p_lowres=0.0,
+                      p_edgeclip=0.0):
     """Device-side batch: card warped to a KNOWN perturbed quad over a bg.
 
     Returns (x (B,H,W,3) float, offsets (B,4,2) crop-px, flip (B,) float).
@@ -192,6 +205,38 @@ def make_refine_batch(key, card_pool_u8, bg_pool_u8, batch_size, size_hw,
         x = jax.vmap(lambda k, c, b, q: one(k, c, b, q, None))(
             keys, cards, bgs, quads
         )
+
+    if p_edgeclip > 0.0:
+        # frame-edge clip: the frame border maps to a straight line in crop
+        # space (homographies preserve lines; approximated axis-aligned
+        # here); past it the serving dewarp's clamped sampling replicates the
+        # boundary pixels outward. Implemented as two one-hot selection
+        # matmuls (row-replicate · img · col-replicate) — a per-sample
+        # dynamic gather would hit the TPU gather pathology, the (H,H)/(W,W)
+        # one-hots are MXU-trivial and fuse under vmap. Labels are UNCHANGED
+        # (the card is where it is; the head learns amodal completion).
+        kside, kfrac, kgate = jax.random.split(kl1, 3)
+        side = jax.random.randint(kside, (batch_size,), 0, 4)
+        frac = jax.random.uniform(kfrac, (batch_size,), minval=0.10, maxval=0.55)
+        gate = jax.random.bernoulli(kgate, p_edgeclip, (batch_size,))
+        ar_w = jnp.arange(ow, dtype=jnp.float32)
+        ar_h = jnp.arange(oh, dtype=jnp.float32)
+
+        def smear(img, sd, fr, g):
+            cx, cy = fr * ow, fr * oh
+            xlo = jnp.where(sd == 0, cx, 0.0)
+            xhi = jnp.where(sd == 1, ow - 1 - cx, ow - 1.0)
+            ylo = jnp.where(sd == 2, cy, 0.0)
+            yhi = jnp.where(sd == 3, oh - 1 - cy, oh - 1.0)
+            xi = jnp.round(jnp.clip(ar_w, xlo, xhi))
+            yi = jnp.round(jnp.clip(ar_h, ylo, yhi))
+            py = (yi[:, None] == ar_h[None, :]).astype(img.dtype)  # (oh,oh)
+            px = (xi[:, None] == ar_w[None, :]).astype(img.dtype)  # (ow,ow)
+            sm = jnp.einsum("ij,jwc->iwc", py, img)
+            sm = jnp.einsum("hwc,xw->hxc", sm, px)
+            return jnp.where(g, sm, img)
+
+        x = jax.vmap(smear)(x, side, frac, gate)
 
     if p_lowres > 0.0:
         # whole-crop down-up resample: the serving crop (card + bg + any
@@ -304,6 +349,7 @@ def train(config: RefineConfig, catalog=None, backgrounds=None) -> RefineTrainSt
                 config.sigma_min, config.sigma_max, config.shift_sigma,
                 config.p_occlude, config.p_heavy, config.heavy_sigma_max,
                 config.heavy_shift_sigma, config.label_clip, config.p_lowres,
+                config.p_edgeclip,
             )
             return train_step(state, x, offsets, flip, config)
 
