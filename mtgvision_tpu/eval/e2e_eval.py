@@ -191,11 +191,21 @@ def evaluate_e2e(
             [[0.0, 0.0], [w_img, 0.0], [w_img, h_img], [0.0, h_img]], np.float64
         )
         vis_centroids = []
+        match_dists = []
         for q in quads:
             vis = clip_poly(np.asarray(q, np.float64), frame_rect)
-            vis_centroids.append(
-                _poly_centroid(vis) if len(vis) >= 3 else q.mean(0)
-            )
+            if len(vis) >= 3:
+                vis_centroids.append(_poly_centroid(vis))
+                vis_area = abs(poly_area(np.asarray(vis, np.float32)))
+            else:
+                vis_centroids.append(q.mean(0))
+                vis_area = 0.0
+            # centroid-distance gate scaled to the visible region: a fixed
+            # 64 px radius cannot match a detection of a 300 px-wide visible
+            # band of a half-off-frame card (its centroid legitimately sits
+            # >64 px from any stable detection centroid); tiny cards keep
+            # the tight 64 px gate
+            match_dists.append(max(match_dist, 0.5 * float(np.sqrt(vis_area))))
         # globally nearest-pair assignment: sort all (GT, detection) pairs
         # under match_dist by distance and take them greedily, so a detection
         # goes to its closest GT card — per-GT greed in placement order could
@@ -206,7 +216,7 @@ def evaluate_e2e(
             c = vis_centroids[gi]
             for d in np.where(valid)[0]:
                 dist = float(np.linalg.norm(det_centroids[d] - c))
-                if dist < match_dist:
+                if dist < match_dists[gi]:
                     pairs.append((dist, gi, int(d)))
         assign: dict[int, int] = {}
         used = set()

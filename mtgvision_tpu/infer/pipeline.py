@@ -471,10 +471,13 @@ class FramePipeline:
         return match_scores, match_idx, corners, flipped, z_sel
 
     def _index_n_valid(self, index_mat):
-        """Real-row count for a padded index matrix (traced scalar)."""
+        """Real-row count for a padded index matrix (traced scalar), or None
+        when every row is real (externally-supplied matrix, e.g. bench) — the
+        None case skips the score mask entirely, so the ADVICE-r3 padding fix
+        costs nothing on unpadded indexes."""
         if self.store is not None and len(self.store):
             return jnp.asarray(len(self.store), jnp.int32)
-        return jnp.asarray(index_mat.shape[0], jnp.int32)
+        return None
 
     # -- chained execution (arrays stay on device between stages) -----------
 

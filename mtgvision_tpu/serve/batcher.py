@@ -1,0 +1,141 @@
+"""Cross-connection frame batching for the websocket server.
+
+The reference dispatches one model call per received frame per connection
+(mtgvision/server.py:259-302 — single stream, single CoreML call), so its
+throughput ceiling is the single-frame latency. On TPU the pipeline's
+per-frame cost drops steeply with batch (bench.py: batch 8 → 323 fps/chip,
+batch 96 → 550 fps/chip), which a batch-1-per-connection server can never
+realize. This module aggregates frames from ALL concurrent websocket
+connections into shared pipeline dispatches:
+
+- every connection submits its decoded frame and awaits a future,
+- a per-shape collector drains whatever arrived within ``max_wait_ms`` of
+  the first pending frame (micro-batching deadline; bounded added latency),
+- the batch is padded up to the smallest size in a LADDER of pre-declared
+  batch sizes (default 1/4/16/max) — each ladder rung is one XLA program,
+  compiled lazily on first use, so a lone webcam client pays the batch-1
+  program while N concurrent streams ride the large-batch economics,
+- the (blocking) device dispatch runs in a worker thread; the event loop
+  keeps accepting frames for the NEXT batch while the device works, so
+  dispatch and collection pipeline against each other.
+
+Frames are grouped by (H, W) — XLA programs have static shapes; mixed
+client resolutions simply land in different collectors.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import threading
+from typing import Callable, Optional
+
+import numpy as np
+
+# per-frame pipeline outputs the tracker context consumes (pipeline.run
+# returns more; fetching only these keeps the host transfer minimal)
+_OUT_KEYS = ("valid", "corners", "det_scores", "crops", "z", "masks",
+             "match_scores", "match_idx", "flipped")
+
+
+def batch_ladder(max_batch: int) -> tuple[int, ...]:
+    """Lazily-compiled batch sizes: 1, 4, 16, …, max_batch (≤4× steps keep
+    padding waste under 4× while needing only ~log₄(max) programs)."""
+    sizes = []
+    b = 1
+    while b < max_batch:
+        sizes.append(b)
+        b *= 4
+    sizes.append(max_batch)
+    return tuple(sizes)
+
+
+class FrameBatcher:
+    """Aggregates frames from concurrent connections into shared dispatches.
+
+    ``submit`` is the only API: ``out = await batcher.submit(frame_u8)``
+    returns that frame's slice of the pipeline outputs as host numpy arrays.
+    """
+
+    def __init__(
+        self,
+        pipeline,  # infer.pipeline.FramePipeline
+        max_batch: int = 16,
+        max_wait_ms: float = 8.0,
+        on_batch: Optional[Callable[[int, float], None]] = None,
+    ):
+        self.pipeline = pipeline
+        self.ladder = batch_ladder(max_batch)
+        self.max_wait = max_wait_ms / 1000.0
+        self.on_batch = on_batch  # (batch_frames, dispatch_seconds) metrics
+        self._collectors: dict[tuple, asyncio.Queue] = {}
+        self._tasks: dict[tuple, asyncio.Task] = {}
+        # one dispatch at a time per batcher: the device serializes programs
+        # anyway; the lock keeps two collectors (mixed shapes) from
+        # interleaving half-batches and thrashing the queue ordering
+        self._dispatch_lock = threading.Lock()
+
+    def _rung(self, n: int) -> int:
+        for b in self.ladder:
+            if n <= b:
+                return b
+        return self.ladder[-1]
+
+    async def submit(self, frame: np.ndarray) -> dict:
+        loop = asyncio.get_running_loop()
+        key = frame.shape[:2]
+        q = self._collectors.get(key)
+        task = self._tasks.get(key)
+        if q is None or task is None or task.done():
+            q = asyncio.Queue()
+            self._collectors[key] = q
+            self._tasks[key] = loop.create_task(self._collect(q))
+        fut: asyncio.Future = loop.create_future()
+        q.put_nowait((frame, fut))
+        return await fut
+
+    async def _collect(self, q: asyncio.Queue):
+        loop = asyncio.get_running_loop()
+        max_batch = self.ladder[-1]
+        while True:
+            frame, fut = await q.get()
+            items = [(frame, fut)]
+            deadline = loop.time() + self.max_wait
+            while len(items) < max_batch:
+                timeout = deadline - loop.time()
+                if timeout <= 0:
+                    break
+                try:
+                    items.append(await asyncio.wait_for(q.get(), timeout))
+                except asyncio.TimeoutError:
+                    break
+            frames = np.stack([f for f, _ in items])
+            out = await loop.run_in_executor(None, self._dispatch, frames)
+            for i, (_, f) in enumerate(items):
+                if not f.done():
+                    f.set_result({k: v[i] for k, v in out.items()})
+
+    def _dispatch(self, frames: np.ndarray) -> dict:
+        import time as _time
+
+        import jax.numpy as jnp
+
+        n = frames.shape[0]
+        rung = self._rung(n)
+        if rung > n:
+            frames = np.concatenate(
+                [frames, np.zeros((rung - n, *frames.shape[1:]), frames.dtype)]
+            )
+        with self._dispatch_lock:
+            t0 = _time.perf_counter()
+            out = self.pipeline(jnp.asarray(frames))
+            # ONE host fetch for the whole batch (np.asarray blocks); padded
+            # tail rows are dropped before slices go back to connections
+            host = {
+                k: np.asarray(out[k])[:n]
+                for k in _OUT_KEYS
+                if out.get(k) is not None
+            }
+            dt = _time.perf_counter() - t0
+        if self.on_batch is not None:
+            self.on_batch(n, dt)
+        return host

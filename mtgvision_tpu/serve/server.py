@@ -105,18 +105,34 @@ class TrackerCtx:
         self.tracked_data: dict[int, TrackedData] = {}
 
     def update(self, rgb_frame: np.ndarray) -> list[TrackedData]:
-        from mtgvision_tpu.track.tracker import Detection
-
+        """Single-connection path: one batch-1 dispatch + ingest. Batched
+        serving (serve.batcher.FrameBatcher) calls ``ingest`` directly with
+        its slice of a shared multi-connection dispatch."""
         import jax.numpy as jnp
 
         out = self.pipeline(jnp.asarray(rgb_frame, jnp.float32)[None])
-        valid = np.asarray(out["valid"][0])
-        corners = np.asarray(out["corners"][0])
-        scores = np.asarray(out["det_scores"][0])
-        crops = np.asarray(out["crops"][0])
-        zs = np.asarray(out["z"][0])
-        masks = np.asarray(out["masks"][0])  # (D, H/4, W/4) sigmoid
-        mask_scale = rgb_frame.shape[0] / masks.shape[1]
+        out0 = {
+            k: np.asarray(out[k])[0]
+            for k in ("valid", "corners", "det_scores", "crops", "z", "masks",
+                      "match_scores", "match_idx")
+            if out.get(k) is not None
+        }
+        return self.ingest(out0, rgb_frame.shape[:2])
+
+    def ingest(self, out0: dict, frame_hw: tuple[int, int]) -> list[TrackedData]:
+        """Tracker + EWMA + match bookkeeping from ONE frame's pipeline
+        outputs (host numpy). Separated from the dispatch so the
+        cross-connection FrameBatcher can share one device program among
+        connections while each keeps its own tracker state."""
+        from mtgvision_tpu.track.tracker import Detection
+
+        valid = out0["valid"]
+        corners = out0["corners"]
+        scores = out0["det_scores"]
+        crops = out0["crops"]
+        zs = out0["z"]
+        masks = out0["masks"]  # (D, H/4, W/4) sigmoid
+        mask_scale = frame_hw[0] / masks.shape[1]
 
         detections = [
             Detection(points=corners[i], data=i) for i in range(len(valid)) if valid[i]
@@ -134,13 +150,17 @@ class TrackerCtx:
             trk.corners = corners[slot]
             trk.points_est = obj.estimate  # smoothed tracker quad (norfair parity)
             trk.score = float(scores[slot])
-            trk.crop_encoded = encode_rgb_im(crops[slot])
             # raw mask outline at frame scale (reference: masks.xy polygon)
             from mtgvision_tpu.ops.polygon import mask_contour
 
             trk.polygon = mask_contour(masks[slot]) * mask_scale
-            # throttled heavy path: EWMA embed + index query (server.py:178-202)
+            # throttled heavy path: EWMA embed + index query (server.py:178-202).
+            # The q50 crop thumbnail rides the SAME throttle — the reference
+            # re-encodes it every frame (server.py:222-225), which at batched
+            # throughput makes host JPEG encode the serving bottleneck; the
+            # client only needs it when the match display refreshes anyway.
             if now - trk.last_update_time > self.update_wait_sec or trk.avg_z is None:
+                trk.crop_encoded = encode_rgb_im(crops[slot])
                 z = zs[slot]
                 if trk.avg_z is None:
                     trk.avg_z = z
@@ -165,8 +185,16 @@ class TrackerCtx:
         return objs
 
 
-def make_app(ctx_factory, static_dir: str | pathlib.Path | None = None):
-    """aiohttp app with ws /detect + optional static mount (server.py:254-310)."""
+def make_app(ctx_factory, static_dir: str | pathlib.Path | None = None,
+             batcher=None):
+    """aiohttp app with ws /detect + optional static mount (server.py:254-310).
+
+    ``batcher`` (serve.batcher.FrameBatcher): when given, every connection's
+    frames are aggregated into shared pipeline dispatches (batch economics of
+    bench.py instead of batch-1 per message); each connection keeps its own
+    TrackerCtx for tracker/EWMA state. Frames are submitted as uint8 — the
+    pipeline's bf16 ingest path halves the frame-upload bandwidth vs f32.
+    """
     from aiohttp import WSMsgType, web
 
     async def detect_ws(request):
@@ -186,8 +214,12 @@ def make_app(ctx_factory, static_dir: str | pathlib.Path | None = None):
                 rgb = decode_jpeg(msg.data)  # native libjpeg
             except ValueError:
                 continue  # skip undecodable frames (server.py:275-276)
-            frame = rgb.astype(np.float32) / 255.0
-            objs = ctx.update(frame)
+            if batcher is not None:
+                out0 = await batcher.submit(rgb)
+                objs = ctx.ingest(out0, rgb.shape[:2])
+            else:
+                frame = rgb.astype(np.float32) / 255.0
+                objs = ctx.update(frame)
             response = {
                 "detections": [o.to_dict() for o in objs],
                 "server_process_time": time.time() - t1,
@@ -227,6 +259,7 @@ def build_pipeline(
     refine_head_ckpt: str | None = None,
     refine_redewarp: bool = False,
     refine_iters: int = 1,
+    refine_head_flip: bool = True,
     layout: str = "3prog",
 ):
     """FramePipeline from checkpoints (trained serving) or random weights
@@ -287,6 +320,7 @@ def build_pipeline(
         orient_head=head, orient_head_vars=head_vars,
         refine_head=rhead, refine_head_vars=rhead_vars,
         refine_redewarp=refine_redewarp, refine_iters=refine_iters,
+        refine_head_flip=refine_head_flip,
         layout=layout,
     )
 
@@ -317,10 +351,21 @@ def main(argv=None):
                     "(helps occluded cards; ~+7 ms / 64 crops)")
     ap.add_argument("--refine-iters", type=int, default=1,
                     help="refine head passes (>1 needs --refine-redewarp y)")
+    ap.add_argument("--refine-head-flip", default="y", choices=("y", "n"),
+                    help="y: the head's flip logit decides orientation "
+                    "(single encoder pass); n: dual-orientation embedding + "
+                    "index match decides (2x encoder)")
     ap.add_argument("--layout", default="3prog",
                     choices=("3prog", "2prog", "fused"),
                     help="frame program layout (see FramePipeline.layout); "
                     "bench.py reports which is fastest on the deployment")
+    ap.add_argument("--serve-batch", type=int, default=16,
+                    help="max cross-connection dispatch batch (FrameBatcher "
+                    "ladder 1/4/…/N compiles lazily; 0 = legacy batch-1 per "
+                    "connection)")
+    ap.add_argument("--batch-wait-ms", type=float, default=8.0,
+                    help="micro-batch collection deadline after the first "
+                    "pending frame")
     args = ap.parse_args(argv)
     if args.refine_iters > 1 and args.refine_redewarp != "y":
         ap.error("--refine-iters > 1 requires --refine-redewarp y")
@@ -336,9 +381,19 @@ def main(argv=None):
         refine_head_ckpt=args.refine_head,
         refine_redewarp=args.refine_redewarp == "y",
         refine_iters=args.refine_iters,
+        refine_head_flip=args.refine_head_flip == "y",
         layout=args.layout,
     )
-    app = make_app(lambda: TrackerCtx(pipe), pathlib.Path(args.static_dir))
+    batcher = None
+    if args.serve_batch > 0:
+        from mtgvision_tpu.serve.batcher import FrameBatcher
+
+        batcher = FrameBatcher(
+            pipe, max_batch=args.serve_batch, max_wait_ms=args.batch_wait_ms
+        )
+    app = make_app(
+        lambda: TrackerCtx(pipe), pathlib.Path(args.static_dir), batcher=batcher
+    )
     web.run_app(app, host=args.host, port=args.port)
 
 

@@ -82,6 +82,13 @@ class EncoderConfig:
     # procedural-catalog census size when no catalog is passed (the reference
     # trains over the full Scryfall census; more ids = harder metric problem)
     n_cards: int = 512
+    # confusable printings: same-name cards differ ONLY in the ~1% set-symbol
+    # glyph (data/catalog.py ProceduralCatalog confusable=True — the real-
+    # Scryfall difficulty the de-saturated retrieval benchmark measures).
+    # Training on this census with similar_neg hard negatives is what forces
+    # glyph-level discrimination; the legacy census never needed it (r3:
+    # virtual top-1 0.739 on confusable vs 1.0 legacy).
+    confusable: bool = False
     # Fuse this many optimizer steps into ONE jitted lax.scan program —
     # device-side pool sampling (data/encoder_gen.py make_pair_batch_sampled)
     # makes the whole sample→augment→fwd/bwd→update loop host-free. Critical
@@ -291,7 +298,9 @@ def train(
     from mtgvision_tpu.train.logging_utils import MetricsLogger
 
     if catalog is None:
-        catalog = ProceduralCatalog(n_cards=config.n_cards)
+        catalog = ProceduralCatalog(
+            n_cards=config.n_cards, confusable=config.confusable
+        )
     if backgrounds is None:
         backgrounds = ProceduralBackgrounds()
 

@@ -70,6 +70,14 @@ class DetectorConfig:
     ratio_bg: float = 0.1
     jitter_ratio: float = 0.7
     min_visible_edge: float = 0.0
+    # placement size range (linear scale, od_datasets.py:330-336 convention:
+    # card area = ch·cw·ratio², log-uniform) — a fine-tune pool can emphasize
+    # the small-card band (e.g. max 0.2) where recall is hardest, or the
+    # dense-occlusion band via num_cards_max
+    min_area_ratio: float = 0.02
+    max_area_ratio: float = 0.9
+    num_cards_min: int = 1
+    num_cards_max: int = MAX_CARDS
     ckpt_dir: str = "checkpoints_od"
     n_devices: int = 0
     # HBM-resident pregenerated scene pool (0 = compose scenes per step).
@@ -241,8 +249,8 @@ class DetectorDataset:
         catalog: CardCatalog,
         backgrounds: Backgrounds,
         config: DetectorConfig,
-        num_cards_min: int = 1,
-        num_cards_max: int = MAX_CARDS,
+        num_cards_min: int | None = None,
+        num_cards_max: int | None = None,
     ):
         self.catalog = catalog
         self.config = config
@@ -251,6 +259,10 @@ class DetectorDataset:
         self.card_pool = DeviceCardPool(catalog, config.pool_size, self.rng)
         self.bg_pool = DeviceBgPool(backgrounds, config.bg_pool_size, self.rng)
         self.bg_hw_native = self.bg_pool.images.shape[1:3]
+        if num_cards_min is None:
+            num_cards_min = config.num_cards_min
+        if num_cards_max is None:
+            num_cards_max = config.num_cards_max
         self.num_cards_min = num_cards_min
         self.num_cards_max = min(num_cards_max, MAX_CARDS)
 
@@ -289,6 +301,8 @@ class DetectorDataset:
                     self.rng, card_hw, out_hw, polys,
                     jitter_ratio=cfg.jitter_ratio,
                     min_visible_edge=cfg.min_visible_edge,
+                    min_area_ratio=cfg.min_area_ratio,
+                    max_area_ratio=cfg.max_area_ratio,
                 )
                 if m is None:
                     continue
@@ -430,6 +444,10 @@ class ScenePoolDataset:
             self.base.num_cards_min, self.base.num_cards_max,
             # distribution fields (reference-parity regime, r3)
             cfg.ratio_bg, cfg.jitter_ratio, cfg.min_visible_edge,
+            # r4: placement size band (defaults preserve the r3 cache key
+            # semantics only if hashed — include unconditionally; old caches
+            # simply rebuild once)
+            cfg.min_area_ratio, cfg.max_area_ratio,
         )
         import hashlib
 

@@ -60,6 +60,7 @@ def main(argv=None):
     ap.add_argument("--work", default=".run/scryfall_fixture")
     ap.add_argument("--n-scenes", type=int, default=20)
     ap.add_argument("--out", default="artifacts_r3/e2e_scryfall_fixture.json")
+    ap.add_argument("--details-out", default=None)
     args = ap.parse_args(argv)
 
     from mtgvision_tpu.data.catalog import ProceduralBackgrounds, ScryfallCatalog
@@ -82,7 +83,12 @@ def main(argv=None):
         catalog, ProceduralBackgrounds(), num_cards_min=1, num_cards_max=2,
         card_min_area_ratio=0.10, seed=0,
     )
-    stats = evaluate_e2e(pipe, gen, n_scenes=args.n_scenes)
+    details = [] if args.details_out else None
+    stats = evaluate_e2e(pipe, gen, n_scenes=args.n_scenes, details=details)
+    if details is not None:
+        with open(args.details_out, "w") as f:
+            for d in details:
+                f.write(json.dumps(d) + "\n")
     print(stats)
     rec = {
         "catalog": "ScryfallCatalog", "n_index": len(pipe.store),

@@ -1,0 +1,170 @@
+"""Websocket serving load test: N concurrent clients vs the batched server.
+
+Measures what the SHIPPED server (serve/server.py + serve/batcher.py)
+actually sustains end-to-end — JPEG decode, cross-connection micro-batching,
+shared pipeline dispatches, tracker + wire-format JSON per connection —
+and splits the aggregate into device vs host budget so the gap to bench.py
+(pure device pipeline throughput at the same batch) is attributable.
+
+    python scripts/serve_loadtest.py --det artifacts_r3/det_seg \
+        --enc artifacts_r2/enc_long --refine-head artifacts_r4/refine_head \
+        --clients 24 --seconds 20 --max-batch 96 --json-out artifacts_r4/serve_loadtest.json
+
+Runs the aiohttp app in-process (TestServer — real sockets on loopback).
+Each simulated client pumps frames back-to-back with one in flight
+(the web client's adaptive send loop, www/app.js), so concurrency ==
+--clients, exactly like N browsers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--det", default="artifacts_r3/det_seg")
+    ap.add_argument("--enc", default="artifacts_r2/enc_long")
+    ap.add_argument("--refine-head", default=None)
+    ap.add_argument("--n-cards", type=int, default=1024, help="index size")
+    ap.add_argument("--clients", type=int, default=24)
+    ap.add_argument("--seconds", type=float, default=20.0)
+    ap.add_argument("--max-batch", type=int, default=96)
+    ap.add_argument("--batch-wait-ms", type=float, default=8.0)
+    ap.add_argument("--frame-px", type=int, default=640)
+    ap.add_argument("--json-out", default=None)
+    args = ap.parse_args(argv)
+
+    from mtgvision_tpu.data.catalog import ProceduralBackgrounds, ProceduralCatalog
+    from mtgvision_tpu.data.scene_gen import SceneGenerator
+    from mtgvision_tpu.index.populate import populate_index
+    from mtgvision_tpu.index.store import VectorStore
+    from mtgvision_tpu.infer.export import Encoder
+    from mtgvision_tpu.serve.batcher import FrameBatcher
+    from mtgvision_tpu.serve.server import TrackerCtx, build_pipeline, make_app
+    from mtgvision_tpu.utils.native import encode_jpeg
+
+    catalog = ProceduralCatalog(n_cards=args.n_cards)
+    store = VectorStore(dim=768)
+    pipe = build_pipeline(
+        args.det, args.enc, store=store,
+        refine_head_ckpt=args.refine_head, layout="2prog",
+    )
+    print("populating index...", file=sys.stderr)
+    populate_index(
+        store,
+        catalog,
+        Encoder(pipe.encoder, pipe.enc_variables["params"]).predict_batch,
+        batch_size=64,
+        crop_hw=pipe.crop_hw,
+    )
+
+    # realistic frames: rendered scenes with actual cards (detection slots
+    # exercised), one JPEG per client re-sent every message (clients cache
+    # the encode; the SERVER still decodes every message)
+    gen = SceneGenerator(
+        catalog, ProceduralBackgrounds(), seed=7, num_cards_max=3,
+        card_min_area_ratio=0.08,
+        bg_size_hw=(args.frame_px, args.frame_px),
+    )
+    payloads = []
+    for _ in range(args.clients):
+        frame = np.asarray(gen.random()["image"])
+        if frame.dtype != np.uint8:
+            frame = (np.clip(frame, 0, 1) * 255).astype(np.uint8)
+        payloads.append(encode_jpeg(frame, 70))
+
+    batch_sizes: list[int] = []
+    dispatch_s: list[float] = []
+    batcher = FrameBatcher(
+        pipe, max_batch=args.max_batch, max_wait_ms=args.batch_wait_ms,
+        on_batch=lambda n, dt: (batch_sizes.append(n), dispatch_s.append(dt)),
+    )
+    app = make_app(lambda: TrackerCtx(pipe, store=store), batcher=batcher)
+
+    async def client(tc, payload, stop_at, counts, idx):
+        ws = await tc.ws_connect("/detect")
+        # one frame in flight per client — the reference web client's send
+        # loop (www/src/component-video.ts:249-253 adaptive delay ≈ serial)
+        while time.perf_counter() < stop_at:
+            await ws.send_bytes(payload)
+            msg = await ws.receive_json()
+            assert "detections" in msg
+            counts[idx] += 1
+        await ws.close()
+
+    async def run():
+        from aiohttp.test_utils import TestClient, TestServer
+
+        server = TestServer(app)
+        tc = TestClient(server)
+        await tc.start_server()
+        try:
+            # warmup: compile EVERY ladder rung before the measured window
+            # (a rung first hit mid-measurement would bill its compile —
+            # ~90 s over tunneled TPUs — to the load test)
+            from mtgvision_tpu.utils.native import decode_jpeg
+
+            warm_frame = decode_jpeg(payloads[0])
+            for rung in batcher.ladder:
+                t0 = time.perf_counter()
+                batcher._dispatch(
+                    np.repeat(warm_frame[None], rung, axis=0)
+                )
+                print(f"warm rung {rung}: {time.perf_counter()-t0:.1f}s",
+                      file=sys.stderr)
+            warm = [0]
+            await client(tc, payloads[0], time.perf_counter() + 0.1, warm, 0)
+            print(f"warmup done ({warm[0]} frames)", file=sys.stderr)
+            batch_sizes.clear()
+            dispatch_s.clear()
+            counts = [0] * args.clients
+            t0 = time.perf_counter()
+            stop_at = t0 + args.seconds
+            await asyncio.gather(
+                *(client(tc, payloads[i], stop_at, counts, i)
+                  for i in range(args.clients))
+            )
+            wall = time.perf_counter() - t0
+            return counts, wall
+        finally:
+            await tc.close()
+
+    counts, wall = asyncio.run(run())
+    n_frames = int(sum(counts))
+    agg_fps = n_frames / wall
+    mean_batch = float(np.mean(batch_sizes)) if batch_sizes else 0.0
+    busy = float(np.sum(dispatch_s))
+    # device-side throughput while a dispatch is actually running — the
+    # number comparable to bench.py at the same batch size
+    disp_fps = float(np.sum(batch_sizes) / busy) if busy else 0.0
+    rec = {
+        "clients": args.clients,
+        "seconds": round(wall, 2),
+        "frames_answered": n_frames,
+        "aggregate_fps": round(agg_fps, 1),
+        "mean_batch": round(mean_batch, 1),
+        "p90_batch": int(np.percentile(batch_sizes, 90)) if batch_sizes else 0,
+        "n_dispatches": len(batch_sizes),
+        "mean_dispatch_ms": round(1e3 * busy / max(len(dispatch_s), 1), 2),
+        "dispatch_fps": round(disp_fps, 1),
+        "dispatch_busy_frac": round(busy / wall, 3),
+        "max_batch": args.max_batch,
+        "frame_px": args.frame_px,
+    }
+    print(json.dumps(rec))
+    if args.json_out:
+        pathlib.Path(args.json_out).write_text(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

@@ -143,6 +143,79 @@ def test_server_wire_format(enc, catalog):
         }
 
 
+def test_server_batched_multiclient(enc, catalog):
+    """Cross-connection FrameBatcher: N concurrent ws clients share pipeline
+    dispatches (serve/batcher.py); every client still gets its own
+    tracker/wire-format responses, and at least one dispatch aggregates
+    multiple connections' frames."""
+    import cv2
+
+    from mtgvision_tpu.serve.batcher import FrameBatcher, batch_ladder
+    from mtgvision_tpu.serve.server import TrackerCtx, make_app
+
+    assert batch_ladder(16) == (1, 4, 16)
+    assert batch_ladder(96) == (1, 4, 16, 64, 96)
+    assert batch_ladder(1) == (1,)
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    model, params = enc
+    det = YoloSeg(num_classes=1, size="n")
+    det_vars = det.init(RNG, jnp.zeros((1, 128, 128, 3)), False)
+    store = VectorStore(dim=96)
+    pipe = FramePipeline(
+        det, det_vars, model, {"params": params}, store=store, max_det=2, crop_hw=CROP
+    )
+    batch_log: list[int] = []
+    batcher = FrameBatcher(
+        pipe, max_batch=4, max_wait_ms=250.0,
+        on_batch=lambda n, dt: batch_log.append(n),
+    )
+    app = make_app(lambda: TrackerCtx(pipe, store=store), batcher=batcher)
+
+    rng = np.random.default_rng(0)
+    jpgs = []
+    for _ in range(3):
+        frame = (rng.random((128, 128, 3)) * 255).astype(np.uint8)
+        ok, jpg = cv2.imencode(".jpg", frame)
+        assert ok
+        jpgs.append(jpg.tobytes())
+
+    async def one_client(client, payload, n_frames=2):
+        ws = await client.ws_connect("/detect")
+        out = []
+        for _ in range(n_frames):
+            await ws.send_bytes(payload)
+            out.append(await asyncio.wait_for(ws.receive_json(), timeout=300))
+        await ws.close()
+        return out
+
+    async def run_all():
+        server = TestServer(app)
+        client = TestClient(server)
+        await client.start_server()
+        try:
+            return await asyncio.gather(
+                *(one_client(client, j) for j in jpgs)
+            )
+        finally:
+            await client.close()
+
+    results = asyncio.run(run_all())
+    assert len(results) == 3
+    for msgs in results:
+        for msg in msgs:
+            assert set(msg) == {
+                "detections", "server_process_time", "server_process_period",
+                "server_recv_im_bytes", "server_send_im_bytes",
+            }
+    # the 250 ms deadline must have aggregated concurrent clients at least
+    # once (first dispatch may be a lone frame while others still connect)
+    assert batch_log and max(batch_log) >= 2
+    # all 6 frames were answered through shared dispatches
+    assert sum(batch_log) == 6
+
+
 def test_static_client_served():
     """Root serves the web client (server.py:306-310 static mount parity)."""
     from aiohttp.test_utils import TestClient, TestServer
