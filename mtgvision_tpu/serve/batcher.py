@@ -62,6 +62,7 @@ class FrameBatcher:
         max_batch: int = 16,
         max_wait_ms: float = 8.0,
         on_batch: Optional[Callable[[int, float], None]] = None,
+        max_inflight: int = 2,
     ):
         self.pipeline = pipeline
         self.ladder = batch_ladder(max_batch)
@@ -69,10 +70,11 @@ class FrameBatcher:
         self.on_batch = on_batch  # (batch_frames, dispatch_seconds) metrics
         self._collectors: dict[tuple, asyncio.Queue] = {}
         self._tasks: dict[tuple, asyncio.Task] = {}
-        # one dispatch at a time per batcher: the device serializes programs
-        # anyway; the lock keeps two collectors (mixed shapes) from
-        # interleaving half-batches and thrashing the queue ordering
+        # device work serializes behind this lock; ``max_inflight`` bounds
+        # how many batches may be queued on it so a flood of clients can't
+        # pile up unbounded dispatch tasks
         self._dispatch_lock = threading.Lock()
+        self._inflight = asyncio.Semaphore(max_inflight)
 
     def _rung(self, n: int) -> int:
         for b in self.ladder:
@@ -109,10 +111,26 @@ class FrameBatcher:
                 except asyncio.TimeoutError:
                     break
             frames = np.stack([f for f, _ in items])
+            # fire the dispatch WITHOUT awaiting it: collection of the next
+            # micro-batch overlaps the in-flight device program (the same
+            # dispatch-pipelining bench.py's chained measurement exercises);
+            # the semaphore bounds in-flight batches, the lock serializes
+            # actual device work
+            await self._inflight.acquire()
+            loop.create_task(self._dispatch_and_resolve(loop, frames, items))
+
+    async def _dispatch_and_resolve(self, loop, frames, items):
+        try:
             out = await loop.run_in_executor(None, self._dispatch, frames)
             for i, (_, f) in enumerate(items):
                 if not f.done():
                     f.set_result({k: v[i] for k, v in out.items()})
+        except Exception as e:  # surface pipeline errors to every waiter
+            for _, f in items:
+                if not f.done():
+                    f.set_exception(type(e)(*e.args))
+        finally:
+            self._inflight.release()
 
     def _dispatch(self, frames: np.ndarray) -> dict:
         import time as _time

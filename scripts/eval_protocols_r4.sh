@@ -17,7 +17,7 @@ ENC=${2:-artifacts_r4/enc_conf}
 RH=${3:-artifacts_r4/refine_head}
 OUT=${4:-artifacts_r4}
 mkdir -p "$OUT"
-SERVING_CONFIG=${SERVING_CONFIG:---refine-head-flip y --refine-iters 1 --refine-redewarp n}
+SERVING_CONFIG=${SERVING_CONFIG:---refine-head-flip y --refine-iters 1 --refine-redewarp n --score-thresh 0.15}
 echo "serving config: $SERVING_CONFIG" >&2
 COMMON=(--det "$DET" --enc "$ENC" --enc-model cnvnxt2ae_nano --n-scenes 40
         --refine-head "$RH" $SERVING_CONFIG)
