@@ -102,6 +102,7 @@ def build_system(
     refine_head_flip: bool = True,
     box_snap: bool = False,
     top_k: int = 5,
+    flip_aware_index: bool = False,
 ):
     """(FramePipeline with store attached, catalog). Populates the index by
     embedding every catalog card's crop (qdrant_populate.py:70-90 semantics)."""
@@ -125,7 +126,9 @@ def build_system(
     def predict_batch(crops: np.ndarray) -> np.ndarray:
         return np.asarray(embed(enc_vars, jnp.asarray(crops, jnp.float32)))
 
-    store = VectorStore(dim=768)
+    # flip_aware_index: populate both orientation halves so serving decides
+    # the 180° flip from ONE encoder pass (index/store.py flip_aware)
+    store = VectorStore(dim=768, flip_aware=flip_aware_index)
     populate_index(store, catalog, predict_batch, batch_size=populate_batch,
                    crop_hw=(192, 128))
     populate_card_info(store, catalog)
@@ -194,6 +197,9 @@ def main(argv=None):
                     help="re-dewarp off refined corners before embedding")
     ap.add_argument("--refine-iters", type=int, default=1,
                     help="refine head passes (>1 needs --refine-redewarp y)")
+    ap.add_argument("--flip-aware-index", default="n", choices=("y", "n"),
+                    help="populate upright + 180deg embeddings; orientation "
+                    "decided by the matched matrix half (one encoder pass)")
     ap.add_argument("--refine-head-flip", default="y", choices=("y", "n"),
                     help="n = head corrects corners only; orientation decided "
                     "by dual-orientation embedding + index match")
@@ -245,6 +251,7 @@ def main(argv=None):
         refine_redewarp=args.refine_redewarp == "y",
         refine_iters=args.refine_iters,
         refine_head_flip=args.refine_head_flip == "y",
+        flip_aware_index=args.flip_aware_index == "y",
         box_snap=args.box_snap == "y",
     )
     gen = SceneGenerator(

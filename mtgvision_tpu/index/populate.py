@@ -49,15 +49,23 @@ def populate_index(
         except ImportError:
             pass
     added = 0
+    flip_aware = getattr(store, "flip_aware", False)
     for off in it:
         chunk = todo[off : off + batch_size]
         imgs = np.stack([catalog.get_image(c) for c in chunk])
         crops = np.asarray(make_cropped_batch(jnp.asarray(imgs), size_hw=crop_hw))
         zs = np.asarray(encode_batch(crops))
+        fzs = [None] * len(chunk)
+        if flip_aware:
+            # 180°-rotated embeddings fill the store's flipped half: serving
+            # then decides crop orientation from ONE encoder pass (the top
+            # match's row half) instead of embedding both orientations
+            fzs = np.asarray(encode_batch(np.rot90(crops, 2, axes=(1, 2)).copy()))
         store.save_points(
             [
-                VectorPoint(id=c.id, vector=z, payload={"name": c.name, "set": c.set_code})
-                for c, z in zip(chunk, zs)
+                VectorPoint(id=c.id, vector=z, flip_vector=fz,
+                            payload={"name": c.name, "set": c.set_code})
+                for c, z, fz in zip(chunk, zs, fzs)
             ]
         )
         added += len(chunk)

@@ -35,12 +35,17 @@ from mtgvision_tpu.ops.topk import l2_normalize, topk_scores
 
 @dataclasses.dataclass
 class VectorPoint:
-    """Mirrors QdrantPoint (qdrant.py:10-14)."""
+    """Mirrors QdrantPoint (qdrant.py:10-14).
+
+    ``flip_vector``: embedding of the card's 180°-rotated image, stored by
+    flip-aware stores (see VectorStore flip_aware) so serving can decide
+    crop orientation from ONE encoder pass."""
 
     id: str
     vector: np.ndarray | None = None
     payload: dict | None = None
     score: float | None = None
+    flip_vector: np.ndarray | None = None
 
 
 class VectorStore:
@@ -52,17 +57,30 @@ class VectorStore:
         capacity: int = 1024,
         mesh=None,
         dtype=jnp.float32,
+        flip_aware: bool = False,
     ):
         self.dim = dim
         self.dtype = dtype
         self.mesh = mesh
+        # flip-aware orientation matching: the matrix carries each card's
+        # upright AND 180°-rotated embeddings as separate row halves, so the
+        # serving pipeline embeds ONE crop orientation and reads the flip
+        # decision off which half the top match lands in (row >= half ⇒ the
+        # crop is upside down). This replaces the 2× dual-orientation
+        # encoder pass with a 2× MXU matmul — the matmul is ~30× cheaper on
+        # TPU — and is statistically the same discrimination (both compare a
+        # flipped view against an upright view of the card).
+        self.flip_aware = flip_aware
         self._ids: list[str] = []
         self._row_of: dict[str, int] = {}
         self._payloads: dict[str, dict] = {}
         # host mirror (normalized) + device matrix; device copy rebuilt lazily
         self._host = np.zeros((capacity, dim), np.float32)
+        self._flip_host = np.zeros((capacity, dim), np.float32) if flip_aware else None
         self._n = 0
         self._device_matrix = None  # (capacity, D) on device, normalized
+        self._half_rows = 0  # rows per half at last _matrix() build
+        self._mask_cache = None  # device row-validity mask, rebuilt with matrix
         self._dirty = True
 
     # -- helpers ------------------------------------------------------------
@@ -80,13 +98,22 @@ class VectorStore:
         grown = np.zeros((cap, self.dim), np.float32)
         grown[: self._n] = self._host[: self._n]
         self._host = grown
+        if self._flip_host is not None:
+            fgrown = np.zeros((cap, self.dim), np.float32)
+            fgrown[: self._n] = self._flip_host[: self._n]
+            self._flip_host = fgrown
         self._dirty = True
 
     def _matrix(self):
         """Device matrix padded to capacity; invalid rows are zero (score 0 <
         any real cosine hit after thresholding; masked in query)."""
         if self._dirty or self._device_matrix is None:
-            mat = jnp.asarray(self._host)
+            host = self._host
+            if self.flip_aware:
+                # [upright; flipped] halves — row semantics decoded by
+                # half_rows(); each half keeps the same capacity padding
+                host = np.concatenate([self._host, self._flip_host])
+            mat = jnp.asarray(host)
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -99,8 +126,39 @@ class VectorStore:
                     mat, NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
                 )
             self._device_matrix = mat
+            self._half_rows = self._host.shape[0]
+            self._mask_cache = None
             self._dirty = False
         return self._device_matrix
+
+    def half_rows(self) -> int:
+        """Rows per orientation half of the LAST-built matrix (flip-aware
+        stores only): row r < half ⇒ upright, r >= half ⇒ flipped, canonical
+        row = r - half. 0 for plain stores."""
+        return self._half_rows if self.flip_aware else 0
+
+    def row_valid_mask(self):
+        """(rows,) bool DEVICE array: which rows of _matrix() hold real
+        vectors (capacity and mesh padding excluded; both halves of a
+        flip-aware store). Cached alongside the device matrix so serving
+        doesn't re-upload it every frame batch; sharded like the matrix
+        rows when a mesh is attached."""
+        if self._mask_cache is None:
+            mat = self._matrix()
+            m = np.zeros(mat.shape[0], bool)
+            m[: self._n] = True
+            if self.flip_aware:
+                half = self._half_rows
+                m[half : half + self._n] = True
+            dm = jnp.asarray(m)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                dm = jax.device_put(
+                    dm, NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+                )
+            self._mask_cache = dm
+        return self._mask_cache
 
     # -- Qdrant-parity API --------------------------------------------------
 
@@ -112,13 +170,18 @@ class VectorStore:
             norm = float(np.linalg.norm(vec))
             vec = vec / max(norm, 1e-12)
             if p.id in self._row_of:
-                self._host[self._row_of[p.id]] = vec
+                row = self._row_of[p.id]
+                self._host[row] = vec
             else:
                 self._ensure_capacity(1)
-                self._host[self._n] = vec
-                self._row_of[p.id] = self._n
+                row = self._n
+                self._host[row] = vec
+                self._row_of[p.id] = row
                 self._ids.append(p.id)
                 self._n += 1
+            if self.flip_aware and p.flip_vector is not None:
+                fv = np.asarray(p.flip_vector, np.float32).reshape(self.dim)
+                self._flip_host[row] = fv / max(float(np.linalg.norm(fv)), 1e-12)
             if p.payload is not None:
                 self._payloads[p.id] = dict(p.payload)
         self._dirty = True
@@ -164,15 +227,27 @@ class VectorStore:
         """Batched top-k — the serving hot path. One fused device program."""
         if self._n == 0:
             return [[] for _ in range(len(vectors))]
-        scores, idx = self.query_device(jnp.asarray(vectors, jnp.float32), k)
+        # flip-aware: query 2k candidates over both orientation halves, then
+        # canonicalize rows and keep the first (best) hit per card id
+        kq = 2 * k if self.flip_aware else k
+        scores, idx = self.query_device(jnp.asarray(vectors, jnp.float32), kq)
         scores = np.asarray(scores)
         idx = np.asarray(idx)
+        if self.flip_aware:
+            idx = np.where(idx >= self._half_rows, idx - self._half_rows, idx)
         out: list[list[VectorPoint]] = []
         for b in range(len(vectors)):
             row_out = []
+            seen: set[int] = set()
             for s, i in zip(scores[b], idx[b]):
+                if len(row_out) >= k:
+                    break
                 if i >= self._n or not np.isfinite(s):
                     continue
+                if self.flip_aware:
+                    if int(i) in seen:
+                        continue
+                    seen.add(int(i))
                 if score_threshold is not None and s < score_threshold:
                     continue
                 pid = self._ids[int(i)]
@@ -197,14 +272,17 @@ class VectorStore:
         """
         mat = self._matrix()
         kk = min(k, max(1, self._n))
-        valid = jnp.arange(mat.shape[0]) < self._n
+        valid = self.row_valid_mask()
         return _query_jit(queries, mat, valid, kk)
 
     def save_to_dir(self, path: str | pathlib.Path):
         """Persist vectors + payloads (export format: npz + jsonl)."""
         path = pathlib.Path(path)
         path.mkdir(parents=True, exist_ok=True)
-        np.savez_compressed(path / "vectors.npz", vectors=self._host[: self._n])
+        arrs = {"vectors": self._host[: self._n]}
+        if self.flip_aware:
+            arrs["flip_vectors"] = self._flip_host[: self._n]
+        np.savez_compressed(path / "vectors.npz", **arrs)
         (path / "ids.json").write_text(json.dumps(self._ids))
         with open(path / "payloads.jsonl", "w") as f:
             for i in self._ids:
@@ -213,10 +291,19 @@ class VectorStore:
     @classmethod
     def load_from_dir(cls, path: str | pathlib.Path, mesh=None) -> "VectorStore":
         path = pathlib.Path(path)
-        vecs = np.load(path / "vectors.npz")["vectors"]
+        data = np.load(path / "vectors.npz")
+        vecs = data["vectors"]
+        flips = data["flip_vectors"] if "flip_vectors" in data.files else None
         ids = json.loads((path / "ids.json").read_text())
-        store = cls(dim=vecs.shape[1] if len(vecs) else 768, mesh=mesh)
-        pts = [VectorPoint(id=i, vector=v) for i, v in zip(ids, vecs)]
+        store = cls(
+            dim=vecs.shape[1] if len(vecs) else 768, mesh=mesh,
+            flip_aware=flips is not None,
+        )
+        pts = [
+            VectorPoint(id=i, vector=v,
+                        flip_vector=flips[j] if flips is not None else None)
+            for j, (i, v) in enumerate(zip(ids, vecs))
+        ]
         store.save_points(pts)
         with open(path / "payloads.jsonl") as f:
             for line in f:

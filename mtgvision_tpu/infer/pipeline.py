@@ -183,6 +183,18 @@ class FramePipeline:
             self.refine_crop = False
         elif orient_head is not None:
             self.both_orientations = False
+        if store is not None and getattr(store, "flip_aware", False):
+            # flip-aware index (store.py flip_aware): orientation is decided
+            # by which matrix half the top match lands in — ONE encoder pass
+            # regardless of other flags. Composes with refine_head_flip: a
+            # head-corrected crop that is still upside down is caught by the
+            # index half (flipped = head_flip ^ match_flip, as with dual).
+            self.both_orientations = False
+        # storeless flip-aware operation (bench / externally-supplied
+        # matrices): set to the per-orientation row count of an
+        # [upright; flipped] index matrix and the match stage treats it
+        # exactly like a flip-aware store's matrix
+        self.index_half: int | None = None
         if dewarp_impl == "auto":
             # measured on v5e (64 crops / 8 frames): XLA bf16 two-pass 6.5 ms
             # vs fused Pallas kernel 8.8-10 ms (ops/dewarp_pallas.py docstring)
@@ -428,26 +440,46 @@ class FramePipeline:
 
     # -- stage 3: match + orientation selection ------------------------------
 
-    def _match_select_stage(self, z, corners, index_mat, n_valid=None):
+    def _match_select_stage(self, z, corners, index_mat, row_valid=None,
+                            half=None):
         """(n_or,B,D,Z) embeddings + corners + index → per-detection match
         results with the better-scoring orientation selected (n_or == 2).
 
-        ``n_valid`` (traced scalar): real row count of ``index_mat`` — the
-        store pads with zero rows (capacity growth / mesh sharding) and a
-        zero row can win the top-k when every real score is <= 0, surfacing
-        an out-of-range match_idx to consumers (ADVICE r3)."""
+        ``row_valid`` ((rows,) bool, traced): which matrix rows hold real
+        vectors — capacity/mesh padding rows are zero vectors and can win
+        the top-k when every real score is <= 0, surfacing out-of-range
+        match_idx to consumers (ADVICE r3).
+
+        ``half`` (traced scalar, flip-aware stores): the matrix carries
+        upright embeddings in rows [0, half) and 180°-rotated embeddings in
+        [half, 2·half) (index/store.py flip_aware). The crop is embedded
+        ONCE; a top match landing in the flipped half means the crop is
+        upside down. Replaces the dual-orientation 2× encoder pass with a 2×
+        MXU matmul; candidates are deduped per canonical card so top-k ids
+        stay unique like the dual-orientation path's."""
         n_or, b, d, _ = z.shape
         q = z.reshape(n_or * b * d, -1)
+        k_query = self.top_k if half is None else 2 * self.top_k
         if self.mesh is not None:
             from mtgvision_tpu.ops.topk import cosine_topk_sharded
 
             # NaN-query sanitation matches cosine_topk (degenerate crops)
             q = jnp.nan_to_num(q)
             ms, mi = cosine_topk_sharded(
-                q, index_mat, k=self.top_k, mesh=self.mesh, n_valid=n_valid
+                q, index_mat, k=k_query, mesh=self.mesh, row_valid=row_valid
             )
         else:
-            ms, mi = cosine_topk(q, index_mat, k=self.top_k, n_valid=n_valid)
+            ms, mi = cosine_topk(q, index_mat, k=k_query, row_valid=row_valid)
+        if half is not None:
+            assert n_or == 1, "flip-aware index implies one orientation pass"
+            ms, mi, m_flip = self._flip_aware_select(ms, mi, half)
+            ms = ms.reshape(n_or, b, d, self.top_k)
+            mi = mi.reshape(n_or, b, d, self.top_k)
+            m_flip = m_flip.reshape(b, d)
+            corners = jnp.where(
+                m_flip[..., None, None], jnp.roll(corners, 2, axis=2), corners
+            )
+            return ms[0], mi[0], corners, m_flip, z[0]
         ms = ms.reshape(n_or, b, d, self.top_k)
         mi = mi.reshape(n_or, b, d, self.top_k)
         if n_or == 1:
@@ -470,14 +502,54 @@ class FramePipeline:
         z_sel = jnp.where(flipped[..., None], z[1], z[0])
         return match_scores, match_idx, corners, flipped, z_sel
 
-    def _index_n_valid(self, index_mat):
-        """Real-row count for a padded index matrix (traced scalar), or None
-        when every row is real (externally-supplied matrix, e.g. bench) — the
-        None case skips the score mask entirely, so the ADVICE-r3 padding fix
-        costs nothing on unpadded indexes."""
+    def _flip_aware_select(self, ms, mi, half):
+        """(B, 2k) candidates over a [upright; flipped] matrix → (B, k)
+        deduped canonical matches + (B,) crop-flip decision.
+
+        Candidates arrive score-sorted; keeping the FIRST occurrence of each
+        canonical row keeps the best-scoring orientation. The dedupe is a
+        fixed unrolled O((2k)²) compare on (B, 2k) — pure VPU, k ≤ 8."""
+        k, k2 = self.top_k, ms.shape[1]
+        flip_c = mi >= half
+        ci = jnp.where(flip_c, mi - half, mi)
+        dup = jnp.zeros(ms.shape, bool)
+        for j in range(1, k2):
+            dup = dup.at[:, j].set((ci[:, :j] == ci[:, j : j + 1]).any(axis=1))
+        keep = ~dup
+        slot = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1  # target slot
+        out_ms, out_mi, out_fl = [], [], []
+        for t in range(k):
+            pick = keep & (slot == t)  # ≤ 1 true per row
+            got = pick.any(axis=1)
+            out_ms.append(
+                jnp.where(got, jnp.where(pick, ms, 0.0).sum(axis=1), -jnp.inf)
+            )
+            # empty-slot sentinel: ``half`` ≥ n real rows, so consumers'
+            # existing "index ≥ len(store) ⇒ empty" handling applies
+            out_mi.append(
+                jnp.where(got, jnp.where(pick, ci, 0).sum(axis=1), half)
+            )
+            out_fl.append(jnp.where(pick, flip_c, False).any(axis=1))
+        ms_k = jnp.stack(out_ms, axis=1)
+        mi_k = jnp.stack(out_mi, axis=1).astype(mi.dtype)
+        # the crop's orientation is the rank-0 candidate's half
+        return ms_k, mi_k, out_fl[0]
+
+    def _index_mask(self, index_mat):
+        """(row_valid, half) for the match stage. row_valid marks the real
+        rows of the (padded) store matrix; half is the per-orientation row
+        count of a flip-aware store (None otherwise). Both are None for an
+        externally-supplied matrix (e.g. bench) — every row real, no flip
+        halves — so the masking costs nothing there."""
         if self.store is not None and len(self.store):
-            return jnp.asarray(len(self.store), jnp.int32)
-        return None
+            rv = self.store.row_valid_mask()
+            half = None
+            if getattr(self.store, "flip_aware", False):
+                half = jnp.asarray(self.store.half_rows(), jnp.int32)
+            return rv, half
+        if self.index_half is not None:
+            return None, jnp.asarray(self.index_half, jnp.int32)
+        return None, None
 
     # -- chained execution (arrays stay on device between stages) -----------
 
@@ -498,8 +570,9 @@ class FramePipeline:
         flipped = head_flip
         z_sel = z[0]
         if index_mat is not None:
+            rv, half = self._index_mask(index_mat)
             match_scores, match_idx, corners, m_flip, z_sel = self._match_select(
-                z, corners, index_mat, self._index_n_valid(index_mat)
+                z, corners, index_mat, rv, half
             )
             flipped = flipped ^ m_flip
         return {
@@ -545,7 +618,7 @@ class FramePipeline:
         deployment. Requires a store matrix (match runs inside the program).
         """
         if self._fused is None:
-            def fused(det_vars, enc_vars, frames_, mat, nv):
+            def fused(det_vars, enc_vars, frames_, mat, rv, half):
                 boxes, scores, classes, masks, valid = self._detect_stage(
                     det_vars, frames_
                 )
@@ -559,7 +632,7 @@ class FramePipeline:
                         enc_vars, frames_, masks, valid, boxes
                     )
                 ms, mi, corners, m_flip, z_sel = self._match_select_stage(
-                    z, corners, mat, nv
+                    z, corners, mat, rv, half
                 )
                 return {
                     "boxes": boxes,
@@ -578,7 +651,7 @@ class FramePipeline:
             self._fused = jax.jit(fused)
         return self._fused(
             self.det_variables, self.enc_variables, frames, index_mat,
-            self._index_n_valid(index_mat),
+            *self._index_mask(index_mat),
         )
 
     def run_2prog(self, frames, index_mat):
@@ -593,12 +666,12 @@ class FramePipeline:
         if self.det_kind != "seg":
             raise ValueError("run_2prog supports det_kind='seg' only")
         if self._re_match is None:
-            def re_match(enc_vars, frames_, masks, valid, boxes, mat, nv):
+            def re_match(enc_vars, frames_, masks, valid, boxes, mat, rv, half):
                 crops, corners, ok, z, head_flip = self._rectify_embed_stage(
                     enc_vars, frames_, masks, valid, boxes
                 )
                 ms, mi, corners, m_flip, z_sel = self._match_select_stage(
-                    z, corners, mat, nv
+                    z, corners, mat, rv, half
                 )
                 return crops, corners, ok, z_sel, head_flip ^ m_flip, ms, mi
 
@@ -606,7 +679,7 @@ class FramePipeline:
         boxes, scores, classes, masks, valid = self._detect(self.det_variables, frames)
         crops, corners, ok, z_sel, flipped, ms, mi = self._re_match(
             self.enc_variables, frames, masks, valid, boxes, index_mat,
-            self._index_n_valid(index_mat),
+            *self._index_mask(index_mat),
         )
         return {
             "boxes": boxes,
@@ -639,8 +712,9 @@ class FramePipeline:
         flipped = head_flip
         z_sel = z[0]
         if index_mat is not None:
+            rv, half = self._index_mask(index_mat)
             match_scores, match_idx, corners, m_flip, z_sel = self._match_select(
-                z, corners, index_mat, self._index_n_valid(index_mat)
+                z, corners, index_mat, rv, half
             )
             flipped = flipped ^ m_flip
         return {
@@ -720,10 +794,12 @@ def build_e2e_pipeline(
     )
     enc_vars = {"params": jax.jit(enc.init)(rng, jnp.zeros((1, 192, 128, 3)))["params"]}
 
-    # production serving config: the learned refine head replaces the 2×
-    # dual-orientation encoder pass (flip logit) and lifts corners off the
-    # proto grid (back-projected offsets); random weights cost the same
-    # compute as trained ones, so the benchmark measures the served program
+    # THE UNIFIED SERVING CONFIG (r4): exactly what scripts/eval_protocols_r4
+    # scores for quality — refine head corrects corners (one pass), the
+    # FLIP-AWARE index decides the 180° orientation (upright + rotated
+    # embedding halves; the top match's row half IS the flip decision), one
+    # encoder pass per crop. Random weights cost the same compute as trained
+    # ones, so the benchmark measures the served program.
     from mtgvision_tpu.models.refine_head import RefineHead
 
     rhead = RefineHead()
@@ -732,8 +808,13 @@ def build_e2e_pipeline(
     pipe = FramePipeline(
         det, det_vars, enc, enc_vars, store=None, max_det=max_det,
         refine_head=rhead, refine_head_vars=rhead_vars,
+        refine_head_flip=False, both_orientations=False,
+        score_thresh=0.15,
     )
-    db = jax.random.normal(jax.random.PRNGKey(1), (n_index, 768), jnp.float32)
+    # [upright; flipped] halves — 2·n_index rows, matching a flip-aware
+    # store's matrix layout (index/store.py)
+    pipe.index_half = n_index
+    db = jax.random.normal(jax.random.PRNGKey(1), (2 * n_index, 768), jnp.float32)
     db = db / jnp.linalg.norm(db, axis=1, keepdims=True)
 
     runner = {

@@ -88,6 +88,7 @@ def cosine_topk(
     k: int,
     normalized: bool = True,
     n_valid: jnp.ndarray | int | None = None,
+    row_valid: jnp.ndarray | None = None,
 ):
     """Top-k cosine similarity of (B, D) queries against an (N, D) database.
 
@@ -110,7 +111,11 @@ def cosine_topk(
         d.astype(jnp.bfloat16).T,
         preferred_element_type=jnp.float32,
     )
-    if n_valid is not None:
+    if row_valid is not None:
+        # explicit per-row validity (flip-aware stores interleave padding
+        # inside the matrix, so a prefix count can't describe it)
+        scores = jnp.where(row_valid[None, :], scores, -jnp.inf)
+    elif n_valid is not None:
         col = jnp.arange(scores.shape[1], dtype=jnp.int32)[None, :]
         scores = jnp.where(col < n_valid, scores, -jnp.inf)
     v, i = topk_scores(scores, k)
@@ -126,6 +131,7 @@ def cosine_topk_sharded(
     mesh,
     axis: str | None = None,
     n_valid: jnp.ndarray | int | None = None,
+    row_valid: jnp.ndarray | None = None,
 ):
     """Multi-chip exact top-k: database rows sharded over a 1-D mesh.
 
@@ -154,7 +160,7 @@ def cosine_topk_sharded(
     n_total = db_sharded.shape[0]
     shard_rows = n_total // n_dev
 
-    def local(q, db_local, nv):
+    def local(q, db_local, nv, rv):
         qn = l2_normalize(q.astype(jnp.float32))
         scores = jnp.dot(
             qn.astype(jnp.bfloat16),
@@ -163,7 +169,9 @@ def cosine_topk_sharded(
         )
         shard_id = jax.lax.axis_index(axis)
         row_global = shard_id * shard_rows + jnp.arange(shard_rows, dtype=jnp.int32)
-        if nv is not None:
+        if rv is not None:
+            scores = jnp.where(rv[None, :], scores, -jnp.inf)
+        elif nv is not None:
             scores = jnp.where(row_global[None, :] < nv, scores, -jnp.inf)
         v, i = topk_scores(scores, k)
         # local → global row indices
@@ -174,9 +182,18 @@ def cosine_topk_sharded(
         vf, sel = lax.top_k(v_all, k)
         return jnp.clip(vf, -1.0, 1.0), jnp.take_along_axis(i_all, sel, axis=1)
 
+    if row_valid is not None:
+        fn = shard_map(
+            lambda q, db, rv: local(q, db, None, rv),
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return fn(queries, db_sharded, row_valid)
     if n_valid is None:
         fn = shard_map(
-            lambda q, db: local(q, db, None),
+            lambda q, db: local(q, db, None, None),
             mesh=mesh,
             in_specs=(P(), P(axis)),
             out_specs=(P(), P()),
@@ -184,7 +201,7 @@ def cosine_topk_sharded(
         )
         return fn(queries, db_sharded)
     fn = shard_map(
-        local,
+        lambda q, db, nv: local(q, db, nv, None),
         mesh=mesh,
         in_specs=(P(), P(axis), P()),
         out_specs=(P(), P()),

@@ -56,6 +56,14 @@ def main(argv=None):
     ap.add_argument("--enc", default="artifacts_r2/enc_long")
     ap.add_argument("--enc-model", default="cnvnxt2ae_nano")
     ap.add_argument("--refine-head", default="artifacts_r3/refine_head")
+    ap.add_argument("--refine-head-flip", default="n", choices=("y", "n"))
+    ap.add_argument("--refine-redewarp", default="y", choices=("y", "n"))
+    ap.add_argument("--refine-iters", type=int, default=3)
+    ap.add_argument("--score-thresh", type=float, default=0.25)
+    ap.add_argument("--control", default="y", choices=("y", "n"),
+                    help="also run the SAME protocol on a ProceduralCatalog "
+                    "of equal size — the in-artifact control that isolates "
+                    "the ScryfallCatalog data path from protocol difficulty")
     ap.add_argument("--bulk", default="tests/fixtures/scryfall/bulk.json")
     ap.add_argument("--work", default=".run/scryfall_fixture")
     ap.add_argument("--n-scenes", type=int, default=20)
@@ -68,35 +76,55 @@ def main(argv=None):
     from mtgvision_tpu.eval.e2e_eval import evaluate_e2e
     from mtgvision_tpu.eval.system import build_system
 
+    from mtgvision_tpu.data.catalog import ProceduralCatalog
+
     root = build_root(pathlib.Path(args.work), pathlib.Path(args.bulk))
     catalog = ScryfallCatalog(root)
-    pipe, _ = build_system(
-        args.det, args.enc, catalog, enc_model=args.enc_model,
-        refine_head_ckpt=args.refine_head, refine_redewarp=True,
-        refine_iters=3, refine_head_flip=False,
-    )
+
+    def run_one(cat):
+        pipe, _ = build_system(
+            args.det, args.enc, cat, enc_model=args.enc_model,
+            refine_head_ckpt=args.refine_head,
+            refine_redewarp=args.refine_redewarp == "y",
+            refine_iters=args.refine_iters,
+            refine_head_flip=args.refine_head_flip == "y",
+            score_thresh=args.score_thresh,
+        )
+        gen = SceneGenerator(
+            cat, ProceduralBackgrounds(), num_cards_min=1, num_cards_max=2,
+            card_min_area_ratio=0.10, seed=0,
+        )
+        details = [] if args.details_out else None
+        stats = evaluate_e2e(pipe, gen, n_scenes=args.n_scenes, details=details)
+        return pipe, stats, details
+
+    pipe, stats, details = run_one(catalog)
     # real-metadata payloads must have made it into the store
     sample = pipe.store.retrieve([next(iter(catalog)).id])[0]
     assert sample.payload and "name" in sample.payload, sample.payload
-
-    gen = SceneGenerator(
-        catalog, ProceduralBackgrounds(), num_cards_min=1, num_cards_max=2,
-        card_min_area_ratio=0.10, seed=0,
-    )
-    details = [] if args.details_out else None
-    stats = evaluate_e2e(pipe, gen, n_scenes=args.n_scenes, details=details)
     if details is not None:
         with open(args.details_out, "w") as f:
             for d in details:
                 f.write(json.dumps(d) + "\n")
+    control = None
+    if args.control == "y":
+        _, cstats, _ = run_one(ProceduralCatalog(n_cards=len(catalog)))
+        control = {
+            "recall": cstats.recall, "top1": cstats.top1,
+            "corner_err_px": cstats.mean_corner_err,
+            "quad_err_px": cstats.mean_oriented_err,
+            "flip_rate": cstats.flip_rate,
+        }
     print(stats)
     rec = {
         "catalog": "ScryfallCatalog", "n_index": len(pipe.store),
         "bulk": str(args.bulk), "payload_sample": sample.payload,
         "recall": stats.recall, "precision": stats.precision,
         "top1": stats.top1, "top5": stats.top5,
-        "corner_err_px": stats.mean_corner_err, "flip_rate": stats.flip_rate,
+        "corner_err_px": stats.mean_corner_err,
+        "quad_err_px": stats.mean_oriented_err, "flip_rate": stats.flip_rate,
         "n_gt": stats.n_gt, "n_detected": stats.n_detected,
+        "procedural_control": control,
     }
     print(json.dumps(rec))
     pathlib.Path(args.out).parent.mkdir(parents=True, exist_ok=True)

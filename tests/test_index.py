@@ -137,3 +137,77 @@ def test_cosine_topk_sharded(mesh8, rng):
     v2, i2 = cosine_topk_sharded(jnp.asarray(q), db_sh, k=5, mesh=mesh8)
     assert (np.asarray(i1) == np.asarray(i2)).all()
     assert np.allclose(v1, v2, atol=2e-2)
+
+
+def test_store_flip_aware_roundtrip(tmp_path, rng):
+    """Flip-aware store: both orientation halves queryable, host query
+    canonicalizes + dedupes, save/load preserves the flip half."""
+    from mtgvision_tpu.index.store import VectorPoint, VectorStore
+
+    d = 32
+    up = rng.standard_normal((5, d)).astype(np.float32)
+    fl = rng.standard_normal((5, d)).astype(np.float32)
+    st = VectorStore(dim=d, capacity=8, flip_aware=True)
+    st.save_points([
+        VectorPoint(id=f"c{i}", vector=up[i], flip_vector=fl[i],
+                    payload={"name": f"n{i}"})
+        for i in range(5)
+    ])
+    # query with a FLIPPED embedding: the canonical id must come back
+    [hits] = st.query_nearby_batch(fl[3][None], k=3)
+    assert hits[0].id == "c3" and abs(hits[0].score - 1.0) < 1e-2
+    # no duplicate ids even though both halves contain c3-adjacent rows
+    ids = [h.id for h in hits]
+    assert len(ids) == len(set(ids))
+    # device query reports the flipped-half row for flipped queries
+    scores, idx = st.query_device(jnp.asarray(fl[3][None]), k=1)
+    assert int(idx[0, 0]) == st.half_rows() + 3
+    # save/load keeps flip awareness
+    st.save_to_dir(tmp_path / "fa")
+    st2 = VectorStore.load_from_dir(tmp_path / "fa")
+    assert st2.flip_aware
+    [hits2] = st2.query_nearby_batch(fl[3][None], k=1)
+    assert hits2[0].id == "c3"
+
+
+def test_pipeline_flip_aware_select(rng):
+    """_match_select over a flip-aware matrix: per-detection flip decision,
+    canonical indices, unique top-k ids, corners rolled on flip."""
+    from mtgvision_tpu.index.store import VectorPoint, VectorStore
+    from mtgvision_tpu.infer.pipeline import FramePipeline
+    from mtgvision_tpu.models.convnextv2ae import ConvNeXtV2Encoder
+    from mtgvision_tpu.models.yolo import YoloSeg
+
+    d = 32
+    up = rng.standard_normal((6, d)).astype(np.float32)
+    fl = rng.standard_normal((6, d)).astype(np.float32)
+    st = VectorStore(dim=d, capacity=8, flip_aware=True)
+    st.save_points([
+        VectorPoint(id=f"c{i}", vector=up[i], flip_vector=fl[i])
+        for i in range(6)
+    ])
+    pipe = FramePipeline(
+        YoloSeg(num_classes=1, size="n"), None,
+        ConvNeXtV2Encoder(image_hw=(32, 32), z_size=d, depths=(1, 1, 1, 1),
+                          dims=(8, 8, 8, 8)), None,
+        store=st, max_det=2, top_k=3,
+    )
+    assert pipe.both_orientations is False  # flip-aware forces one pass
+    # detection 0 embeds like upright c1; detection 1 like FLIPPED c4
+    z = jnp.asarray(np.stack([up[1], fl[4]])[None][None])  # (1,1,2,D)
+    corners = jnp.asarray(rng.random((1, 2, 4, 2)), jnp.float32)
+    rv, half = pipe._index_mask(st._matrix())
+    ms, mi, out_corners, flipped, _ = pipe._match_select_stage(
+        z, corners, st._matrix(), rv, half
+    )
+    assert int(mi[0, 0, 0]) == 1 and not bool(flipped[0, 0])
+    assert int(mi[0, 1, 0]) == 4 and bool(flipped[0, 1])
+    # flipped detection's corners are rolled 180°
+    assert np.allclose(
+        np.asarray(out_corners[0, 1]), np.roll(np.asarray(corners[0, 1]), 2, 0)
+    )
+    assert np.allclose(np.asarray(out_corners[0, 0]), np.asarray(corners[0, 0]))
+    # top-k ids unique per detection
+    for det in range(2):
+        cand = [int(v) for v in np.asarray(mi[0, det]) if v < len(st)]
+        assert len(cand) == len(set(cand))
