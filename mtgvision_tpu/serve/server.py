@@ -261,6 +261,7 @@ def build_pipeline(
     refine_iters: int = 1,
     refine_head_flip: bool = True,
     layout: str = "3prog",
+    score_thresh: float = 0.25,
 ):
     """FramePipeline from checkpoints (trained serving) or random weights
     (smoke runs). Checkpoint dirs accept slim exports or train ckpt dirs
@@ -321,7 +322,7 @@ def build_pipeline(
         refine_head=rhead, refine_head_vars=rhead_vars,
         refine_redewarp=refine_redewarp, refine_iters=refine_iters,
         refine_head_flip=refine_head_flip,
-        layout=layout,
+        layout=layout, score_thresh=score_thresh,
     )
 
 
@@ -359,6 +360,9 @@ def main(argv=None):
                     choices=("3prog", "2prog", "fused"),
                     help="frame program layout (see FramePipeline.layout); "
                     "bench.py reports which is fastest on the deployment")
+    ap.add_argument("--score-thresh", type=float, default=0.15,
+                    help="detector confidence floor (0.15 = the calibrated "
+                    "r4 serving value; see eval_protocols_r4.sh)")
     ap.add_argument("--serve-batch", type=int, default=16,
                     help="max cross-connection dispatch batch (FrameBatcher "
                     "ladder 1/4/…/N compiles lazily; 0 = legacy batch-1 per "
@@ -382,7 +386,7 @@ def main(argv=None):
         refine_redewarp=args.refine_redewarp == "y",
         refine_iters=args.refine_iters,
         refine_head_flip=args.refine_head_flip == "y",
-        layout=args.layout,
+        layout=args.layout, score_thresh=args.score_thresh,
     )
     batcher = None
     if args.serve_batch > 0:

@@ -60,6 +60,7 @@ def main(argv=None):
     ap.add_argument("--refine-redewarp", default="y", choices=("y", "n"))
     ap.add_argument("--refine-iters", type=int, default=3)
     ap.add_argument("--score-thresh", type=float, default=0.25)
+    ap.add_argument("--flip-aware-index", default="n", choices=("y", "n"))
     ap.add_argument("--control", default="y", choices=("y", "n"),
                     help="also run the SAME protocol on a ProceduralCatalog "
                     "of equal size — the in-artifact control that isolates "
@@ -89,6 +90,7 @@ def main(argv=None):
             refine_iters=args.refine_iters,
             refine_head_flip=args.refine_head_flip == "y",
             score_thresh=args.score_thresh,
+            flip_aware_index=args.flip_aware_index == "y",
         )
         gen = SceneGenerator(
             cat, ProceduralBackgrounds(), num_cards_min=1, num_cards_max=2,

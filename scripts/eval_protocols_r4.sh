@@ -12,12 +12,17 @@
 # what bench.py times.
 set -euo pipefail
 export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/root/repo/.jax_cache}"
-DET=${1:-artifacts_r4/det_seg}
+# det_seg is the r3 parity-distribution detector (unchanged in r4 — the r4
+# detection gains came from score-threshold calibration, not retraining)
+DET=${1:-artifacts_r3/det_seg}
 ENC=${2:-artifacts_r4/enc_conf}
 RH=${3:-artifacts_r4/refine_head}
 OUT=${4:-artifacts_r4}
 mkdir -p "$OUT"
-SERVING_CONFIG=${SERVING_CONFIG:---refine-head-flip y --refine-iters 1 --refine-redewarp n --score-thresh 0.15}
+# r4 unified serving config == bench.py's pipeline: refine-head corner
+# correction (1 pass), FLIP-AWARE index (one encoder pass; the matched row
+# half decides the 180° orientation), detector score threshold 0.15
+SERVING_CONFIG=${SERVING_CONFIG:---flip-aware-index y --refine-head-flip n --refine-iters 1 --refine-redewarp n --score-thresh 0.15}
 echo "serving config: $SERVING_CONFIG" >&2
 COMMON=(--det "$DET" --enc "$ENC" --enc-model cnvnxt2ae_nano --n-scenes 40
         --refine-head "$RH" $SERVING_CONFIG)

@@ -54,10 +54,12 @@ def main(argv=None):
     from mtgvision_tpu.utils.native import encode_jpeg
 
     catalog = ProceduralCatalog(n_cards=args.n_cards)
-    store = VectorStore(dim=768)
+    # the r4 unified serving config: flip-aware index + refine-head corners
+    store = VectorStore(dim=768, flip_aware=True)
     pipe = build_pipeline(
         args.det, args.enc, store=store,
-        refine_head_ckpt=args.refine_head, layout="2prog",
+        refine_head_ckpt=args.refine_head, refine_head_flip=False,
+        layout="2prog", score_thresh=0.15,
     )
     print("populating index...", file=sys.stderr)
     populate_index(
