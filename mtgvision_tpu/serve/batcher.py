@@ -31,9 +31,13 @@ from typing import Callable, Optional
 
 import numpy as np
 
-# per-frame pipeline outputs the tracker context consumes (pipeline.run
-# returns more; fetching only these keeps the host transfer minimal)
-_OUT_KEYS = ("valid", "corners", "det_scores", "crops", "z", "masks",
+# per-frame pipeline outputs the tracker context consumes. Deliberately
+# EXCLUDES "crops" and fetches masks quantized to uint8: the full crop
+# tensor is ~19 MB per batch-16 dispatch and host-fetching it over a
+# tunneled TPU measured 6.4 s/dispatch — thumbnails are instead cut from
+# the client's own decoded frame on host (TrackerCtx.ingest), and masks
+# only feed the wire polygon (u8 precision is plenty).
+_OUT_KEYS = ("valid", "corners", "det_scores", "z",
              "match_scores", "match_idx", "flipped")
 
 
@@ -153,6 +157,9 @@ class FrameBatcher:
                 for k in _OUT_KEYS
                 if out.get(k) is not None
             }
+            host["masks_u8"] = np.asarray(
+                (out["masks"] * 255.0).astype(jnp.uint8)
+            )[:n]
             dt = _time.perf_counter() - t0
         if self.on_batch is not None:
             self.on_batch(n, dt)

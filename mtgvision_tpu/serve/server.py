@@ -44,6 +44,22 @@ def encode_rgb_im(rgb_im: np.ndarray, quality: int = 50) -> str:
     return base64.b64encode(encode_jpeg(u8, quality)).decode("utf-8")
 
 
+def _host_thumb(frame: np.ndarray, quad: np.ndarray, pad: float = 0.04) -> np.ndarray:
+    """Axis-aligned crop of the oriented quad from the host-side frame —
+    the serving thumbnail (the reference sends the dewarped crop,
+    server.py:222-225; the bbox crop avoids fetching device crop tensors)."""
+    h, w = frame.shape[:2]
+    lo = quad.min(0)
+    hi = quad.max(0)
+    c = (hi - lo) * pad
+    x0, y0 = np.maximum(0, (lo - c)).astype(int)
+    x1, y1 = np.minimum([w - 1, h - 1], (hi + c)).astype(int)
+    if x1 <= x0 or y1 <= y0:
+        return np.zeros((8, 8, 3), np.float32)
+    t = frame[y0:y1, x0:x1]
+    return t.astype(np.float32) / 255.0 if t.dtype == np.uint8 else t
+
+
 class TrackedData:
     """Per-track state + wire dict (server.py:43-82)."""
 
@@ -113,13 +129,16 @@ class TrackerCtx:
         out = self.pipeline(jnp.asarray(rgb_frame, jnp.float32)[None])
         out0 = {
             k: np.asarray(out[k])[0]
-            for k in ("valid", "corners", "det_scores", "crops", "z", "masks",
+            for k in ("valid", "corners", "det_scores", "z",
                       "match_scores", "match_idx")
             if out.get(k) is not None
         }
-        return self.ingest(out0, rgb_frame.shape[:2])
+        out0["masks_u8"] = np.asarray(
+            (out["masks"][0] * 255.0).astype(jnp.uint8)
+        )
+        return self.ingest(out0, rgb_frame)
 
-    def ingest(self, out0: dict, frame_hw: tuple[int, int]) -> list[TrackedData]:
+    def ingest(self, out0: dict, frame: np.ndarray) -> list[TrackedData]:
         """Tracker + EWMA + match bookkeeping from ONE frame's pipeline
         outputs (host numpy). Separated from the dispatch so the
         cross-connection FrameBatcher can share one device program among
@@ -129,10 +148,9 @@ class TrackerCtx:
         valid = out0["valid"]
         corners = out0["corners"]
         scores = out0["det_scores"]
-        crops = out0["crops"]
         zs = out0["z"]
-        masks = out0["masks"]  # (D, H/4, W/4) sigmoid
-        mask_scale = frame_hw[0] / masks.shape[1]
+        masks = out0["masks_u8"]  # (D, H/4, W/4) sigmoid × 255 as uint8
+        mask_scale = frame.shape[0] / masks.shape[1]
 
         detections = [
             Detection(points=corners[i], data=i) for i in range(len(valid)) if valid[i]
@@ -153,14 +171,18 @@ class TrackerCtx:
             # raw mask outline at frame scale (reference: masks.xy polygon)
             from mtgvision_tpu.ops.polygon import mask_contour
 
-            trk.polygon = mask_contour(masks[slot]) * mask_scale
+            trk.polygon = mask_contour(masks[slot].astype(np.float32) / 255.0) * mask_scale
             # throttled heavy path: EWMA embed + index query (server.py:178-202).
             # The q50 crop thumbnail rides the SAME throttle — the reference
             # re-encodes it every frame (server.py:222-225), which at batched
             # throughput makes host JPEG encode the serving bottleneck; the
             # client only needs it when the match display refreshes anyway.
             if now - trk.last_update_time > self.update_wait_sec or trk.avg_z is None:
-                trk.crop_encoded = encode_rgb_im(crops[slot])
+                # thumbnail from the HOST-side frame (axis-aligned bbox of
+                # the oriented quad): the device crop tensor is ~19 MB per
+                # batched dispatch and dominated serving time when fetched
+                # over tunneled TPUs; the frame is already on host
+                trk.crop_encoded = encode_rgb_im(_host_thumb(frame, corners[slot]))
                 z = zs[slot]
                 if trk.avg_z is None:
                     trk.avg_z = z
@@ -216,7 +238,7 @@ def make_app(ctx_factory, static_dir: str | pathlib.Path | None = None,
                 continue  # skip undecodable frames (server.py:275-276)
             if batcher is not None:
                 out0 = await batcher.submit(rgb)
-                objs = ctx.ingest(out0, rgb.shape[:2])
+                objs = ctx.ingest(out0, rgb)
             else:
                 frame = rgb.astype(np.float32) / 255.0
                 objs = ctx.update(frame)
