@@ -504,20 +504,29 @@ class FramePipeline:
 
     def _flip_aware_select(self, ms, mi, half):
         """(B, 2k) candidates over a [upright; flipped] matrix → (B, k)
-        deduped canonical matches + (B,) crop-flip decision.
+        canonical matches + (B,) crop-flip decision.
 
-        Candidates arrive score-sorted; keeping the FIRST occurrence of each
-        canonical row keeps the best-scoring orientation. The dedupe is a
-        fixed unrolled O((2k)²) compare on (B, 2k) — pure VPU, k ≤ 8."""
+        The rank-0 candidate's half decides the crop's orientation; the
+        reported top-k is then re-ranked WITHIN that half only — matching
+        dual-orientation semantics exactly (pick the better orientation by
+        its best score, rank among that orientation's rows). Mixing halves
+        in the ranking measurably costs top-1: a wrong card's opposite-half
+        embedding can outrank the right card's same-half one on noisy
+        (tiny/occluded) crops. Fixed unrolled O((2k)²) VPU compares, k ≤ 8."""
         k, k2 = self.top_k, ms.shape[1]
         flip_c = mi >= half
         ci = jnp.where(flip_c, mi - half, mi)
+        # orientation decision: the overall best-scoring candidate's half
+        flip0 = flip_c[:, 0]
+        same = flip_c == flip0[:, None]
         dup = jnp.zeros(ms.shape, bool)
         for j in range(1, k2):
-            dup = dup.at[:, j].set((ci[:, :j] == ci[:, j : j + 1]).any(axis=1))
-        keep = ~dup
+            dup = dup.at[:, j].set(
+                ((ci[:, :j] == ci[:, j : j + 1]) & same[:, :j]).any(axis=1)
+            )
+        keep = same & ~dup
         slot = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1  # target slot
-        out_ms, out_mi, out_fl = [], [], []
+        out_ms, out_mi = [], []
         for t in range(k):
             pick = keep & (slot == t)  # ≤ 1 true per row
             got = pick.any(axis=1)
@@ -529,11 +538,9 @@ class FramePipeline:
             out_mi.append(
                 jnp.where(got, jnp.where(pick, ci, 0).sum(axis=1), half)
             )
-            out_fl.append(jnp.where(pick, flip_c, False).any(axis=1))
         ms_k = jnp.stack(out_ms, axis=1)
         mi_k = jnp.stack(out_mi, axis=1).astype(mi.dtype)
-        # the crop's orientation is the rank-0 candidate's half
-        return ms_k, mi_k, out_fl[0]
+        return ms_k, mi_k, flip0
 
     def _index_mask(self, index_mat):
         """(row_valid, half) for the match stage. row_valid marks the real
