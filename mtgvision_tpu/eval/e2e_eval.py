@@ -193,6 +193,10 @@ def evaluate_e2e(
         vis_centroids = []
         match_dists = []
         for q in quads:
+            q_clipped = bool(
+                (q[:, 0] < 0).any() or (q[:, 1] < 0).any()
+                or (q[:, 0] > w_img).any() or (q[:, 1] > h_img).any()
+            )
             vis = clip_poly(np.asarray(q, np.float64), frame_rect)
             if len(vis) >= 3:
                 vis_centroids.append(_poly_centroid(vis))
@@ -200,12 +204,18 @@ def evaluate_e2e(
             else:
                 vis_centroids.append(q.mean(0))
                 vis_area = 0.0
-            # centroid-distance gate scaled to the visible region: a fixed
-            # 64 px radius cannot match a detection of a 300 px-wide visible
-            # band of a half-off-frame card (its centroid legitimately sits
-            # >64 px from any stable detection centroid); tiny cards keep
-            # the tight 64 px gate
-            match_dists.append(max(match_dist, 0.5 * float(np.sqrt(vis_area))))
+            # centroid-distance gate scaled to the visible region, but ONLY
+            # for frame-clipped cards (the stated rationale): a fixed 64 px
+            # radius cannot match a detection of a 300 px-wide visible band
+            # of a half-off-frame card (its centroid legitimately sits
+            # >64 px from any stable detection centroid). Fully-visible
+            # cards keep the tight 64 px gate — an area-scaled gate on a
+            # large clear card would credit distant/spurious detections as
+            # matches, inflating recall and hiding FPs (ADVICE r4).
+            if q_clipped:
+                match_dists.append(max(match_dist, 0.5 * float(np.sqrt(vis_area))))
+            else:
+                match_dists.append(match_dist)
         # globally nearest-pair assignment: sort all (GT, detection) pairs
         # under match_dist by distance and take them greedily, so a detection
         # goes to its closest GT card — per-GT greed in placement order could

@@ -103,6 +103,7 @@ def build_system(
     box_snap: bool = False,
     top_k: int = 5,
     flip_aware_index: bool = False,
+    sel_redewarp: int = 0,
 ):
     """(FramePipeline with store attached, catalog). Populates the index by
     embedding every catalog card's crop (qdrant_populate.py:70-90 semantics)."""
@@ -160,6 +161,7 @@ def build_system(
         refine_redewarp=refine_redewarp,
         refine_iters=refine_iters,
         refine_head_flip=refine_head_flip,
+        sel_redewarp=sel_redewarp,
         box_snap=box_snap,
         # default 5 so reported top-5 metrics are true top-5: the
         # FramePipeline serving default (top_k=3, reference server.py:189)
@@ -167,6 +169,19 @@ def build_system(
         top_k=top_k,
     )
     return pipe, catalog
+
+
+def _ckpt_id(path: str) -> str | None:
+    """Resolved checkpoint identity (latest step dir for train-ckpt dirs) —
+    part of the self-describing artifact config block."""
+    if not path:
+        return None
+    p = pathlib.Path(path)
+    if not (p / "manifest.ocdbt").exists():
+        steps = sorted(p.glob("step_*"))
+        if steps:
+            return str(steps[-1])
+    return str(p)
 
 
 def main(argv=None):
@@ -197,6 +212,11 @@ def main(argv=None):
                     help="re-dewarp off refined corners before embedding")
     ap.add_argument("--refine-iters", type=int, default=1,
                     help="refine head passes (>1 needs --refine-redewarp y)")
+    ap.add_argument("--sel-redewarp", type=int, default=0,
+                    help="re-dewarp + second refine pass on only the N "
+                    "highest-offset slots per frame (conditional compute; "
+                    "the embedding of those slots comes from the corrected "
+                    "crop). 0 = off; ignored with --refine-redewarp y")
     ap.add_argument("--flip-aware-index", default="n", choices=("y", "n"),
                     help="populate upright + 180deg embeddings; orientation "
                     "decided by the matched matrix half (one encoder pass)")
@@ -229,6 +249,11 @@ def main(argv=None):
     ap.add_argument("--min-visible-edge", type=float, default=1.0,
                     help="min in-frame visible fraction (clamped up to 0.5)")
     ap.add_argument("--num-cards-min", type=int, default=1)
+    ap.add_argument("--track-frames", type=int, default=0,
+                    help="N>0: track-level protocol — render each scene as "
+                    "an N-frame jittered sequence, run the tracker + EWMA "
+                    "temporal fusion (server parity), score per TRACK "
+                    "(eval/track_eval.py)")
     args = ap.parse_args(argv)
     if args.refine_iters > 1 and args.refine_redewarp != "y":
         ap.error("--refine-iters > 1 requires --refine-redewarp y (the "
@@ -253,6 +278,7 @@ def main(argv=None):
         refine_head_flip=args.refine_head_flip == "y",
         flip_aware_index=args.flip_aware_index == "y",
         box_snap=args.box_snap == "y",
+        sel_redewarp=args.sel_redewarp,
     )
     gen = SceneGenerator(
         catalog, ProceduralBackgrounds(), num_cards_min=args.num_cards_min,
@@ -263,6 +289,44 @@ def main(argv=None):
         ratio_bg=args.ratio_bg,
     )
     details: list | None = [] if args.details_out else None
+    # self-describing artifacts (r5): every eval JSON embeds the FULL
+    # invocation config + resolved checkpoint steps + backend, so no
+    # provenance archaeology is ever needed to interpret a number
+    config_block = {
+        **{k.replace("_", "-"): v for k, v in vars(args).items()},
+        "det-resolved": _ckpt_id(args.det),
+        "enc-resolved": _ckpt_id(args.enc),
+        "refine-head-resolved": _ckpt_id(args.refine_head),
+        "backend": jax.devices()[0].platform,
+    }
+    if args.track_frames > 0:
+        from mtgvision_tpu.eval.track_eval import evaluate_tracked
+
+        tstats = evaluate_tracked(
+            pipe, gen, n_scenes=args.n_scenes, n_frames=args.track_frames,
+            details=details,
+        )
+        print(tstats)
+        rec = {
+            "track_recall": tstats.track_recall,
+            "top1_ewma": tstats.top1_ewma,
+            "top5_ewma": tstats.top5_ewma,
+            "top1_vote": tstats.top1_vote,
+            "flip_rate": tstats.flip_rate,
+            "frame_top1": tstats.frame_top1,
+            "n_gt": tstats.n_gt,
+            "n_tracked": tstats.n_tracked,
+            "n_frame_obs": tstats.n_frame_obs,
+            "config": config_block,
+        }
+        print(json.dumps(rec))
+        if args.json_out:
+            pathlib.Path(args.json_out).write_text(json.dumps(rec))
+        if args.details_out:
+            with open(args.details_out, "w") as f:
+                for d in details:
+                    f.write(json.dumps(d) + "\n")
+        return tstats
     if args.oracle == "y":
         from mtgvision_tpu.eval.e2e_eval import evaluate_oracle
 
@@ -285,6 +349,7 @@ def main(argv=None):
         "recall_clipped": stats.recall_clipped,
         "recall_unclipped": stats.recall_unclipped,
         "n_gt_clipped": stats.n_gt_clipped,
+        "config": config_block,
     }
     if args.oracle == "y":
         # evaluate_oracle never populates the FP/precision/bg/clipped

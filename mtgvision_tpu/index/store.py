@@ -271,7 +271,12 @@ class VectorStore:
         over rows and XLA all-gathers the per-shard partials.
         """
         mat = self._matrix()
-        kk = min(k, max(1, self._n))
+        # flip-aware stores span 2·n valid rows (both orientation halves), so
+        # a 2k-candidate query over a small store must not truncate to n —
+        # after per-card dedup that could return < k unique cards even when k
+        # distinct cards exist (ADVICE r4)
+        n_valid = 2 * self._n if self.flip_aware else self._n
+        kk = min(k, max(1, n_valid))
         valid = self.row_valid_mask()
         return _query_jit(queries, mat, valid, kk)
 

@@ -41,6 +41,16 @@ _OUT_KEYS = ("valid", "corners", "det_scores", "z",
              "match_scores", "match_idx", "flipped")
 
 
+def _fail_futures(futures, exc: BaseException) -> None:
+    """Set ``exc`` (the ORIGINAL instance) on every unresolved future.
+    Re-constructing via ``type(e)(*e.args)`` breaks on exception types not
+    constructible from their args (wrapped XLA/runtime errors), which would
+    raise inside the handler and leave later waiters hanging (ADVICE r4)."""
+    for f in futures:
+        if not f.done():
+            f.set_exception(exc)
+
+
 def batch_ladder(max_batch: int) -> tuple[int, ...]:
     """Lazily-compiled batch sizes: 1, 4, 16, …, max_batch (≤4× steps keep
     padding waste under 4× while needing only ~log₄(max) programs)."""
@@ -74,10 +84,16 @@ class FrameBatcher:
         self.on_batch = on_batch  # (batch_frames, dispatch_seconds) metrics
         self._collectors: dict[tuple, asyncio.Queue] = {}
         self._tasks: dict[tuple, asyncio.Task] = {}
-        # device work serializes behind this lock; ``max_inflight`` bounds
-        # how many batches may be queued on it so a flood of clients can't
-        # pile up unbounded dispatch tasks
+        # Overlap depth: device work serializes behind ``_dispatch_lock``
+        # (one XLA program runs at a time); ``max_inflight`` bounds how many
+        # dispatch tasks may QUEUE on that lock, so the effective pipeline is
+        # "one batch executing + (max_inflight - 1) staged behind it" while
+        # the collector keeps gathering the next micro-batch. The default 2
+        # means exactly one batch is staged — measured on the r4 load test
+        # this keeps the device ≥80% busy; deeper staging only adds latency
+        # (frames wait longer behind the lock) without more device work.
         self._dispatch_lock = threading.Lock()
+        self.max_inflight = max_inflight
         self._inflight = asyncio.Semaphore(max_inflight)
 
     def _rung(self, n: int) -> int:
@@ -102,26 +118,47 @@ class FrameBatcher:
     async def _collect(self, q: asyncio.Queue):
         loop = asyncio.get_running_loop()
         max_batch = self.ladder[-1]
-        while True:
-            frame, fut = await q.get()
-            items = [(frame, fut)]
-            deadline = loop.time() + self.max_wait
-            while len(items) < max_batch:
-                timeout = deadline - loop.time()
-                if timeout <= 0:
-                    break
+        try:
+            while True:
+                items = []
                 try:
-                    items.append(await asyncio.wait_for(q.get(), timeout))
-                except asyncio.TimeoutError:
-                    break
-            frames = np.stack([f for f, _ in items])
-            # fire the dispatch WITHOUT awaiting it: collection of the next
-            # micro-batch overlaps the in-flight device program (the same
-            # dispatch-pipelining bench.py's chained measurement exercises);
-            # the semaphore bounds in-flight batches, the lock serializes
-            # actual device work
-            await self._inflight.acquire()
-            loop.create_task(self._dispatch_and_resolve(loop, frames, items))
+                    frame, fut = await q.get()
+                    items = [(frame, fut)]
+                    deadline = loop.time() + self.max_wait
+                    while len(items) < max_batch:
+                        timeout = deadline - loop.time()
+                        if timeout <= 0:
+                            break
+                        try:
+                            items.append(await asyncio.wait_for(q.get(), timeout))
+                        except asyncio.TimeoutError:
+                            break
+                    frames = np.stack([f for f, _ in items])
+                    # fire the dispatch WITHOUT awaiting it: collection of
+                    # the next micro-batch overlaps the in-flight device
+                    # program (the same dispatch-pipelining bench.py's
+                    # chained measurement exercises); the semaphore bounds
+                    # in-flight batches, the lock serializes device work
+                    await self._inflight.acquire()
+                    loop.create_task(
+                        self._dispatch_and_resolve(loop, frames, items)
+                    )
+                except asyncio.CancelledError:
+                    raise
+                except Exception as e:
+                    # a bad frame (np.stack) or task-spawn failure must not
+                    # kill the collector: fail THIS iteration's waiters and
+                    # keep serving — a dead collector would orphan every
+                    # frame queued behind it (ADVICE r4)
+                    _fail_futures((f for _, f in items), e)
+        finally:
+            # cancellation / fatal exit: resolve anything still queued so no
+            # websocket connection waits forever on an orphaned future
+            err = RuntimeError("frame batcher collector terminated")
+            while not q.empty():
+                _, fut = q.get_nowait()
+                if not fut.done():
+                    fut.set_exception(err)
 
     async def _dispatch_and_resolve(self, loop, frames, items):
         try:
@@ -130,9 +167,7 @@ class FrameBatcher:
                 if not f.done():
                     f.set_result({k: v[i] for k, v in out.items()})
         except Exception as e:  # surface pipeline errors to every waiter
-            for _, f in items:
-                if not f.done():
-                    f.set_exception(type(e)(*e.args))
+            _fail_futures((f for _, f in items), e)
         finally:
             self._inflight.release()
 

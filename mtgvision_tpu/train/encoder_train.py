@@ -70,6 +70,12 @@ class EncoderConfig:
     batch_size: int = 64
     max_steps: int = 100_000
     precision: str = "bf16"  # TPU-native (reference: fp16 on cuda, :745)
+    # warm-start: tolerant-merge params from a SLIM export dir (or train
+    # ckpt dir) into the fresh state — step 0, fresh optimizer. This is how
+    # a continuation resumes across rounds where only the committed slim
+    # artifacts survive (train dirs are gitignored). ``checkpoint`` still
+    # wins when it holds a real train state.
+    init_params: str = ""
     checkpoint: Optional[str] = None
     ckpt_dir: str = "checkpoints"
     ckpt_every: int = 2500
@@ -324,6 +330,17 @@ def train(
         # at their own ckpt-dir before the first save exists
         if resume_mgr.latest_step() is not None:
             state = resume_mgr.restore(target=state)
+
+    if config.init_params and int(jax.device_get(state.step)) == 0:
+        # warm-start from slim-export params (see the config field note)
+        from mtgvision_tpu.eval.system import _restore_tree
+        from mtgvision_tpu.train.checkpoint import merge_compatible
+
+        tree = _restore_tree(config.init_params)
+        params = merge_compatible(jax.device_get(state.params), tree["params"])
+        state = state.replace(params=params)
+        if mesh is not None:
+            state = jax.device_put(state, NamedSharding(mesh, P()))
 
     total = max_steps or config.max_steps
     start = int(jax.device_get(state.step))

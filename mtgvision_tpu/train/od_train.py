@@ -95,6 +95,11 @@ class DetectorConfig:
     scan_steps: int = 50
     # Resume from the latest checkpoint in ckpt_dir when present.
     resume: bool = True
+    # Warm-start params (+batch_stats) from a SLIM export dir when no
+    # resume checkpoint exists — step 0, fresh optimizer. Cross-round
+    # continuations only have the committed slim artifacts to start from
+    # (train dirs are gitignored and do not survive rounds).
+    init_params: str = ""
     # Cache the composed scene pool here (.npz) — rebuilding it costs
     # ~15 min of warp compute; reloading is seconds.
     pool_cache: str = ""
@@ -656,6 +661,20 @@ def train(config: DetectorConfig, catalog=None, backgrounds=None, max_steps=None
     ckpt = CheckpointManager(config.ckpt_dir, keep_top_k=3)
     if config.resume and ckpt.latest_step() is not None:
         state = ckpt.restore(target=state)
+    elif config.init_params:
+        # warm-start from slim-export params (see the config field note)
+        from mtgvision_tpu.eval.system import _restore_tree
+        from mtgvision_tpu.train.checkpoint import merge_compatible
+
+        tree = _restore_tree(config.init_params)
+        state = state.replace(
+            params=merge_compatible(jax.device_get(state.params), tree["params"]),
+            batch_stats=merge_compatible(
+                jax.device_get(state.batch_stats), tree.get("batch_stats", {})
+            ),
+        )
+        if mesh is not None:
+            state = jax.device_put(state, NamedSharding(mesh, P()))
 
     ds = DetectorDataset(catalog, backgrounds, config)
     if config.scene_pool:

@@ -250,3 +250,59 @@ def test_make_refine_batch_lowres_small_budget():
         np.abs(np.asarray(x1) - np.asarray(x0)).reshape(16, -1).max(1) > 1e-4
     )
     assert changed.sum() == 3, changed.sum()  # round(16*0.2) = 3 samples
+
+
+def test_pipeline_sel_redewarp():
+    """Selective redewarp (r5): the k highest-offset slots per frame are
+    re-dewarped + refined a second time before embedding; shapes and
+    finiteness hold, and non-selected slots keep their stage-1 crops."""
+    from mtgvision_tpu.index import VectorPoint, VectorStore
+    from mtgvision_tpu.infer.pipeline import FramePipeline
+    from mtgvision_tpu.models.convnextv2ae import ConvNeXtV2Encoder
+    from mtgvision_tpu.models.yolo import YoloSeg
+
+    rng = jax.random.PRNGKey(0)
+    det = YoloSeg(num_classes=1, size="n")
+    det_vars = det.init(rng, jnp.zeros((1, 128, 128, 3)), False)
+    enc = ConvNeXtV2Encoder(
+        image_hw=(96, 64), z_size=96, head_type="conv+linear",
+        depths=(1, 1, 1, 1), dims=(8, 16, 24, 32),
+    )
+    enc_vars = {"params": enc.init(rng, jnp.zeros((1, 96, 64, 3)))["params"]}
+    rhead = RefineHead(widths=(8, 16), max_offset=8.0)
+    rh_vars = {"params": rhead.init(rng, jnp.zeros((1, 96, 64, 3)))["params"]}
+    store = VectorStore(dim=96)
+    vecs = np.random.default_rng(0).standard_normal((20, 96)).astype(np.float32)
+    store.save_points(
+        [VectorPoint(id=f"c{i}", vector=v, payload={}) for i, v in enumerate(vecs)]
+    )
+    pipe = FramePipeline(
+        det, det_vars, enc, enc_vars, store=store, max_det=4, crop_hw=(96, 64),
+        top_k=3, refine_head=rhead, refine_head_vars=rh_vars,
+        refine_head_flip=False, sel_redewarp=2,
+    )
+    assert pipe.sel_redewarp == 2
+    frames = jnp.asarray(np.random.default_rng(0).random((2, 128, 128, 3), np.float32))
+    out = pipe(frames)
+    assert out["corners"].shape == (2, 4, 4, 2)
+    assert out["crops"].shape == (2, 4, 96, 64, 3)
+    assert np.isfinite(np.asarray(out["corners"])).all()
+    assert np.isfinite(np.asarray(out["z"])).all()
+
+    # full redewarp wins over selective (sel ignored, no double work)
+    pipe2 = FramePipeline(
+        det, det_vars, enc, enc_vars, store=store, max_det=4, crop_hw=(96, 64),
+        top_k=3, refine_head=rhead, refine_head_vars=rh_vars,
+        refine_head_flip=False, refine_redewarp=True, sel_redewarp=2,
+    )
+    assert pipe2.sel_redewarp == 0
+    out2 = pipe2(frames)
+    assert np.isfinite(np.asarray(out2["z"])).all()
+
+    # sel_redewarp is clamped to max_det
+    pipe3 = FramePipeline(
+        det, det_vars, enc, enc_vars, store=store, max_det=2, crop_hw=(96, 64),
+        top_k=3, refine_head=rhead, refine_head_vars=rh_vars,
+        refine_head_flip=False, sel_redewarp=8,
+    )
+    assert pipe3.sel_redewarp == 2

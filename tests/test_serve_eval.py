@@ -256,3 +256,57 @@ def test_tracked_data_distinct_geometry():
     assert d["polygon"] != d["polygon_closed"]
     assert d["points"] != d["polygon_closed"]
     assert len(d["polygon"]) == 9 and len(d["polygon_closed"]) == 4
+
+
+def test_batcher_failure_recovery():
+    """Batcher hardening (ADVICE r4 / VERDICT r4 #7): dispatch exceptions
+    propagate the ORIGINAL instance (even non-reconstructible exception
+    types) to every waiter; a bad frame batch fails its own waiters without
+    killing the collector; later frames still get served."""
+    from mtgvision_tpu.serve.batcher import FrameBatcher
+
+    class Weird(Exception):
+        # not constructible from *args — type(e)(*e.args) would raise
+        def __init__(self, a, b):
+            super().__init__(f"{a}:{b}")
+
+    calls = {"n": 0}
+    batcher = FrameBatcher(pipeline=None, max_batch=4, max_wait_ms=5.0)
+
+    def fake_dispatch(frames):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise Weird("boom", 2)
+        return {"slot": np.arange(frames.shape[0])}
+
+    batcher._dispatch = fake_dispatch
+
+    async def run():
+        f = np.zeros((8, 8, 3), np.uint8)
+        try:
+            await batcher.submit(f)
+            raise AssertionError("expected Weird")
+        except Weird as e:
+            assert str(e) == "boom:2"
+        out = await batcher.submit(f)  # same collector, still alive
+        assert out["slot"] == 0
+
+    asyncio.run(run())
+
+    # an unstackable micro-batch (same HW key, mismatched channels) fails
+    # its waiters but the collector keeps serving the next good frame
+    batcher2 = FrameBatcher(pipeline=None, max_batch=4, max_wait_ms=100.0)
+    batcher2._dispatch = lambda frames: {"slot": np.arange(frames.shape[0])}
+
+    async def run2():
+        f_good = np.zeros((8, 8, 3), np.uint8)
+        f_bad = np.zeros((8, 8), np.uint8)  # same (H, W) key, np.stack fails
+        res = await asyncio.gather(
+            batcher2.submit(f_good), batcher2.submit(f_bad),
+            return_exceptions=True,
+        )
+        assert any(isinstance(r, Exception) for r in res)
+        out = await batcher2.submit(f_good)
+        assert out["slot"] == 0
+
+    asyncio.run(run2())
