@@ -104,6 +104,8 @@ def build_system(
     top_k: int = 5,
     flip_aware_index: bool = False,
     sel_redewarp: int = 0,
+    flip_vote_m: int = 1,
+    dewarp_window: int = 192,
 ):
     """(FramePipeline with store attached, catalog). Populates the index by
     embedding every catalog card's crop (qdrant_populate.py:70-90 semantics)."""
@@ -162,6 +164,8 @@ def build_system(
         refine_iters=refine_iters,
         refine_head_flip=refine_head_flip,
         sel_redewarp=sel_redewarp,
+        flip_vote_m=flip_vote_m,
+        dewarp_window=dewarp_window,
         box_snap=box_snap,
         # default 5 so reported top-5 metrics are true top-5: the
         # FramePipeline serving default (top_k=3, reference server.py:189)
@@ -220,6 +224,13 @@ def main(argv=None):
     ap.add_argument("--flip-aware-index", default="n", choices=("y", "n"),
                     help="populate upright + 180deg embeddings; orientation "
                     "decided by the matched matrix half (one encoder pass)")
+    ap.add_argument("--flip-vote-m", type=int, default=1,
+                    help="flip-aware orientation from a score-weighted vote "
+                    "over the top-M candidates' halves (1 = rank-0 only)")
+    ap.add_argument("--dewarp-window", type=int, default=192,
+                    help="two-pass dewarp window px (ops/warp.dewarp_quad); "
+                    "cost ~window^2, resolution loss bounded at 1/sqrt(2) "
+                    "in narrow card-size bands")
     ap.add_argument("--refine-head-flip", default="y", choices=("y", "n"),
                     help="n = head corrects corners only; orientation decided "
                     "by dual-orientation embedding + index match")
@@ -279,6 +290,8 @@ def main(argv=None):
         flip_aware_index=args.flip_aware_index == "y",
         box_snap=args.box_snap == "y",
         sel_redewarp=args.sel_redewarp,
+        flip_vote_m=args.flip_vote_m,
+        dewarp_window=args.dewarp_window,
     )
     gen = SceneGenerator(
         catalog, ProceduralBackgrounds(), num_cards_min=args.num_cards_min,

@@ -121,6 +121,13 @@ class FramePipeline:
         # fixed-shape conditional compute (top-k select, no dynamic shapes).
         # 0 = off. Ignored when refine_redewarp already re-dewarps everything.
         sel_redewarp: int = 0,
+        # flip-aware orientation decision from a score-weighted VOTE over the
+        # top-m candidates instead of rank-0 alone (1 = rank-0, the r4
+        # behavior). On sub-idable crops the rank-0 candidate is near-random
+        # (r4 refparity flip 0.29 vs 0.0-0.06 on clean protocols) while the
+        # half with more/better candidates is a steadier signal; the vote is
+        # a handful of VPU ops — zero fps cost. VERDICT r4 task 8.
+        flip_vote_m: int = 1,
         # use the refine head's flip logit as the orientation decision. When
         # False the head still corrects corners but orientation falls back to
         # dual-orientation embedding + index matching (both_orientations) —
@@ -130,6 +137,14 @@ class FramePipeline:
         refine_head_flip: bool = True,
         fast_dewarp: bool = True,
         dewarp_impl: str = "auto",  # "pallas" | "xla" | "auto"
+        # two-pass dewarp window (ops/warp.dewarp_quad): the hat-weight
+        # tensors scale ~window², so the window is the dewarp's main cost
+        # knob — 8 crops/frame at window 192 are ~36% of the whole frame
+        # budget. The √2-stepped pyramid bounds the worst-case resolution
+        # loss of a smaller window at 1/√2 in narrow card-size bands (the
+        # level cutoffs shift down); measured fps/quality tradeoff in
+        # scripts/probe_redewarp_fps.py + sweep_redewarp_quality.sh.
+        dewarp_window: int = 192,
         orient_sign: str = "notch",  # "notch" | "extent" (orient.py)
         orient_head=None,  # models/orient_head.OrientHead | None
         orient_head_vars=None,
@@ -188,6 +203,7 @@ class FramePipeline:
         self.refine_redewarp = refine_redewarp
         self.refine_iters = refine_iters
         self.sel_redewarp = 0 if refine_redewarp else min(sel_redewarp, max_det)
+        self.flip_vote_m = flip_vote_m
         self.refine_head_flip = refine_head_flip
         if refine_head is not None:
             if refine_head_flip:
@@ -215,6 +231,7 @@ class FramePipeline:
             # — the XLA path wins, the kernel stays available for explicit use
             dewarp_impl = "xla"
         self.dewarp_impl = dewarp_impl
+        self.dewarp_window = dewarp_window
         self.det_kind = det_kind
         self.box_snap = box_snap
         if layout not in ("3prog", "2prog", "fused"):
@@ -333,7 +350,9 @@ class FramePipeline:
                 from mtgvision_tpu.ops.warp import dewarp_quads_batch
 
                 return jax.vmap(
-                    lambda f, q: dewarp_quads_batch(f, q, out_hw=self.crop_hw)
+                    lambda f, q: dewarp_quads_batch(
+                        f, q, out_hw=self.crop_hw, window=self.dewarp_window
+                    )
                 )(frames, corners_)
             return jax.vmap(
                 lambda f, qs: jax.vmap(
@@ -578,8 +597,16 @@ class FramePipeline:
         k, k2 = self.top_k, ms.shape[1]
         flip_c = mi >= half
         ci = jnp.where(flip_c, mi - half, mi)
-        # orientation decision: the overall best-scoring candidate's half
-        flip0 = flip_c[:, 0]
+        if self.flip_vote_m > 1:
+            # orientation decision: score-weighted vote over the top-m
+            # candidates' halves (see the flip_vote_m flag note). -inf
+            # scores from masked rows zero out under the relu weight.
+            m = min(self.flip_vote_m, k2)
+            w = jnp.maximum(ms[:, :m], 0.0)
+            flip0 = (w * flip_c[:, :m]).sum(1) > (w * ~flip_c[:, :m]).sum(1)
+        else:
+            # the overall best-scoring candidate's half
+            flip0 = flip_c[:, 0]
         same = flip_c == flip0[:, None]
         dup = jnp.zeros(ms.shape, bool)
         for j in range(1, k2):
@@ -863,12 +890,14 @@ def build_e2e_pipeline(
     )
     enc_vars = {"params": jax.jit(enc.init)(rng, jnp.zeros((1, 192, 128, 3)))["params"]}
 
-    # THE UNIFIED SERVING CONFIG (r4): exactly what scripts/eval_protocols_r4
-    # scores for quality — refine head corrects corners (one pass), the
+    # THE UNIFIED SERVING CONFIG (r5): exactly what scripts/eval_protocols_r5
+    # scores for quality — refine head corrects corners, SELECTIVE redewarp
+    # re-registers the 2 hardest slots per frame before embedding, the
     # FLIP-AWARE index decides the 180° orientation (upright + rotated
-    # embedding halves; the top match's row half IS the flip decision), one
-    # encoder pass per crop. Random weights cost the same compute as trained
-    # ones, so the benchmark measures the served program.
+    # embedding halves) from a top-3 score-weighted vote, one encoder pass
+    # per crop, dewarp window 160 (fps curve: w192 sel2 468 → w160 sel2 527;
+    # scripts/probe_redewarp_fps.py). Random weights cost the same compute
+    # as trained ones, so the benchmark measures the served program.
     from mtgvision_tpu.models.refine_head import RefineHead
 
     rhead = RefineHead()
@@ -878,6 +907,7 @@ def build_e2e_pipeline(
         det, det_vars, enc, enc_vars, store=None, max_det=max_det,
         refine_head=rhead, refine_head_vars=rhead_vars,
         refine_head_flip=False, both_orientations=False,
+        sel_redewarp=2, flip_vote_m=3, dewarp_window=160,
         score_thresh=0.15,
     )
     # [upright; flipped] halves — 2·n_index rows, matching a flip-aware

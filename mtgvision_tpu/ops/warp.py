@@ -236,7 +236,7 @@ def _hat(delta: jnp.ndarray, width: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(0.0, 1.0 - jnp.abs(delta) / width)
 
 
-PYR_SCALES = (1.0, 1.4142135, 2.0, 2.8284271, 4.0)
+PYR_SCALES = (1.0, 1.4142135, 2.0, 2.8284271, 4.0, 5.6568542)
 
 
 def frame_pyramid(frame: jnp.ndarray) -> list[jnp.ndarray]:

@@ -77,8 +77,18 @@ class FrameBatcher:
         max_wait_ms: float = 8.0,
         on_batch: Optional[Callable[[int, float], None]] = None,
         max_inflight: int = 2,
+        to_device: Optional[Callable] = None,
     ):
+        # ``to_device(frames_u8, refs) -> device array``: how a stacked host
+        # batch reaches the pipeline. Default uploads the pixels
+        # (jnp.asarray — ~1 ms over PCIe on a co-located host). A loop-back
+        # load test passes a lookup that slices a pre-staged HBM frame pool
+        # by the frames' ``ref`` ids instead, so serving throughput can be
+        # measured where the dev tunnel's ~6 MB/s frame upload would
+        # otherwise be the artificial bottleneck (it is not part of the
+        # production path).
         self.pipeline = pipeline
+        self.to_device = to_device
         self.ladder = batch_ladder(max_batch)
         self.max_wait = max_wait_ms / 1000.0
         self.on_batch = on_batch  # (batch_frames, dispatch_seconds) metrics
@@ -102,7 +112,9 @@ class FrameBatcher:
                 return b
         return self.ladder[-1]
 
-    async def submit(self, frame: np.ndarray) -> dict:
+    async def submit(self, frame: np.ndarray, ref=None) -> dict:
+        """``ref``: opaque per-frame id forwarded to ``to_device`` (loop-back
+        frame-pool lookups); unused by the default upload path."""
         loop = asyncio.get_running_loop()
         key = frame.shape[:2]
         q = self._collectors.get(key)
@@ -112,7 +124,7 @@ class FrameBatcher:
             self._collectors[key] = q
             self._tasks[key] = loop.create_task(self._collect(q))
         fut: asyncio.Future = loop.create_future()
-        q.put_nowait((frame, fut))
+        q.put_nowait((frame, ref, fut))
         return await fut
 
     async def _collect(self, q: asyncio.Queue):
@@ -122,8 +134,7 @@ class FrameBatcher:
             while True:
                 items = []
                 try:
-                    frame, fut = await q.get()
-                    items = [(frame, fut)]
+                    items = [await q.get()]
                     deadline = loop.time() + self.max_wait
                     while len(items) < max_batch:
                         timeout = deadline - loop.time()
@@ -133,7 +144,8 @@ class FrameBatcher:
                             items.append(await asyncio.wait_for(q.get(), timeout))
                         except asyncio.TimeoutError:
                             break
-                    frames = np.stack([f for f, _ in items])
+                    frames = np.stack([f for f, _, _ in items])
+                    refs = [r for _, r, _ in items]
                     # fire the dispatch WITHOUT awaiting it: collection of
                     # the next micro-batch overlaps the in-flight device
                     # program (the same dispatch-pipelining bench.py's
@@ -141,7 +153,7 @@ class FrameBatcher:
                     # in-flight batches, the lock serializes device work
                     await self._inflight.acquire()
                     loop.create_task(
-                        self._dispatch_and_resolve(loop, frames, items)
+                        self._dispatch_and_resolve(loop, frames, refs, items)
                     )
                 except asyncio.CancelledError:
                     raise
@@ -150,28 +162,28 @@ class FrameBatcher:
                     # kill the collector: fail THIS iteration's waiters and
                     # keep serving — a dead collector would orphan every
                     # frame queued behind it (ADVICE r4)
-                    _fail_futures((f for _, f in items), e)
+                    _fail_futures((f for *_, f in items), e)
         finally:
             # cancellation / fatal exit: resolve anything still queued so no
             # websocket connection waits forever on an orphaned future
             err = RuntimeError("frame batcher collector terminated")
             while not q.empty():
-                _, fut = q.get_nowait()
+                *_, fut = q.get_nowait()
                 if not fut.done():
                     fut.set_exception(err)
 
-    async def _dispatch_and_resolve(self, loop, frames, items):
+    async def _dispatch_and_resolve(self, loop, frames, refs, items):
         try:
-            out = await loop.run_in_executor(None, self._dispatch, frames)
-            for i, (_, f) in enumerate(items):
+            out = await loop.run_in_executor(None, self._dispatch, frames, refs)
+            for i, (*_, f) in enumerate(items):
                 if not f.done():
                     f.set_result({k: v[i] for k, v in out.items()})
         except Exception as e:  # surface pipeline errors to every waiter
-            _fail_futures((f for _, f in items), e)
+            _fail_futures((f for *_, f in items), e)
         finally:
             self._inflight.release()
 
-    def _dispatch(self, frames: np.ndarray) -> dict:
+    def _dispatch(self, frames: np.ndarray, refs=None) -> dict:
         import time as _time
 
         import jax.numpy as jnp
@@ -182,9 +194,15 @@ class FrameBatcher:
             frames = np.concatenate(
                 [frames, np.zeros((rung - n, *frames.shape[1:]), frames.dtype)]
             )
+            if refs is not None:
+                refs = list(refs) + [refs[0]] * (rung - n)
         with self._dispatch_lock:
             t0 = _time.perf_counter()
-            out = self.pipeline(jnp.asarray(frames))
+            if self.to_device is not None:
+                dev = self.to_device(frames, refs)
+            else:
+                dev = jnp.asarray(frames)
+            out = self.pipeline(dev)
             # ONE host fetch for the whole batch (np.asarray blocks); padded
             # tail rows are dropped before slices go back to connections
             host = {

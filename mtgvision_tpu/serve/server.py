@@ -284,6 +284,9 @@ def build_pipeline(
     refine_head_flip: bool = True,
     layout: str = "3prog",
     score_thresh: float = 0.25,
+    sel_redewarp: int = 0,
+    flip_vote_m: int = 1,
+    dewarp_window: int = 192,
 ):
     """FramePipeline from checkpoints (trained serving) or random weights
     (smoke runs). Checkpoint dirs accept slim exports or train ckpt dirs
@@ -344,6 +347,8 @@ def build_pipeline(
         refine_head=rhead, refine_head_vars=rhead_vars,
         refine_redewarp=refine_redewarp, refine_iters=refine_iters,
         refine_head_flip=refine_head_flip,
+        sel_redewarp=sel_redewarp, flip_vote_m=flip_vote_m,
+        dewarp_window=dewarp_window,
         layout=layout, score_thresh=score_thresh,
     )
 
@@ -374,6 +379,14 @@ def main(argv=None):
                     "(helps occluded cards; ~+7 ms / 64 crops)")
     ap.add_argument("--refine-iters", type=int, default=1,
                     help="refine head passes (>1 needs --refine-redewarp y)")
+    ap.add_argument("--sel-redewarp", type=int, default=0,
+                    help="re-dewarp + second refine pass on only the N "
+                    "highest-offset slots per frame before embedding")
+    ap.add_argument("--flip-vote-m", type=int, default=1,
+                    help="flip-aware orientation from a score-weighted vote "
+                    "over the top-M candidates' halves (1 = rank-0 only)")
+    ap.add_argument("--dewarp-window", type=int, default=192,
+                    help="two-pass dewarp window px (cost ~window^2)")
     ap.add_argument("--refine-head-flip", default="y", choices=("y", "n"),
                     help="y: the head's flip logit decides orientation "
                     "(single encoder pass); n: dual-orientation embedding + "
@@ -408,6 +421,8 @@ def main(argv=None):
         refine_redewarp=args.refine_redewarp == "y",
         refine_iters=args.refine_iters,
         refine_head_flip=args.refine_head_flip == "y",
+        sel_redewarp=args.sel_redewarp, flip_vote_m=args.flip_vote_m,
+        dewarp_window=args.dewarp_window,
         layout=args.layout, score_thresh=args.score_thresh,
     )
     batcher = None

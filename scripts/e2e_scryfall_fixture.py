@@ -55,12 +55,18 @@ def main(argv=None):
     ap.add_argument("--det", default="artifacts_r3/det_seg")
     ap.add_argument("--enc", default="artifacts_r2/enc_long")
     ap.add_argument("--enc-model", default="cnvnxt2ae_nano")
-    ap.add_argument("--refine-head", default="artifacts_r3/refine_head")
+    ap.add_argument("--refine-head", default="artifacts_r4/refine_head")
+    # defaults = the UNIFIED serving config (one config contract: exactly
+    # what bench.py times and eval_protocols scores — the r4 run of this
+    # fixture used the r3 quality config, violating that contract)
     ap.add_argument("--refine-head-flip", default="n", choices=("y", "n"))
-    ap.add_argument("--refine-redewarp", default="y", choices=("y", "n"))
-    ap.add_argument("--refine-iters", type=int, default=3)
-    ap.add_argument("--score-thresh", type=float, default=0.25)
-    ap.add_argument("--flip-aware-index", default="n", choices=("y", "n"))
+    ap.add_argument("--refine-redewarp", default="n", choices=("y", "n"))
+    ap.add_argument("--refine-iters", type=int, default=1)
+    ap.add_argument("--sel-redewarp", type=int, default=0)
+    ap.add_argument("--flip-vote-m", type=int, default=1)
+    ap.add_argument("--dewarp-window", type=int, default=192)
+    ap.add_argument("--score-thresh", type=float, default=0.15)
+    ap.add_argument("--flip-aware-index", default="y", choices=("y", "n"))
     ap.add_argument("--control", default="y", choices=("y", "n"),
                     help="also run the SAME protocol on a ProceduralCatalog "
                     "of equal size — the in-artifact control that isolates "
@@ -91,6 +97,9 @@ def main(argv=None):
             refine_head_flip=args.refine_head_flip == "y",
             score_thresh=args.score_thresh,
             flip_aware_index=args.flip_aware_index == "y",
+            sel_redewarp=args.sel_redewarp,
+            flip_vote_m=args.flip_vote_m,
+            dewarp_window=args.dewarp_window,
         )
         gen = SceneGenerator(
             cat, ProceduralBackgrounds(), num_cards_min=1, num_cards_max=2,
@@ -127,6 +136,8 @@ def main(argv=None):
         "quad_err_px": stats.mean_oriented_err, "flip_rate": stats.flip_rate,
         "n_gt": stats.n_gt, "n_detected": stats.n_detected,
         "procedural_control": control,
+        # self-describing artifact (r5): the full invocation config
+        "config": {k.replace("_", "-"): v for k, v in vars(args).items()},
     }
     print(json.dumps(rec))
     pathlib.Path(args.out).parent.mkdir(parents=True, exist_ok=True)

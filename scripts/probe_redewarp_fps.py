@@ -22,7 +22,8 @@ from mtgvision_tpu.models.refine_head import RefineHead
 from mtgvision_tpu.models.yolo import YoloSeg
 
 
-def build(batch=96, redewarp=False, iters=1, sel_redewarp=0, frame_dtype="bf16"):
+def build(batch=96, redewarp=False, iters=1, sel_redewarp=0, frame_dtype="bf16",
+          dewarp_window=192):
     rng = jax.random.PRNGKey(0)
     det = YoloSeg(num_classes=1, size="s", dtype=jnp.bfloat16)
     det_vars = jax.jit(det.init, static_argnums=2)(rng, jnp.zeros((1, 640, 640, 3)), False)
@@ -41,6 +42,7 @@ def build(batch=96, redewarp=False, iters=1, sel_redewarp=0, frame_dtype="bf16")
         refine_head=rhead, refine_head_vars=rhead_vars,
         refine_head_flip=False, both_orientations=False,
         score_thresh=0.15, refine_redewarp=redewarp, refine_iters=iters,
+        dewarp_window=dewarp_window,
         **kw,
     )
     pipe.index_half = 60_000
@@ -74,6 +76,13 @@ VARIANTS = {
     "rdw2": dict(redewarp=True, iters=2),
     "sel2": dict(redewarp=False, iters=1, sel_redewarp=2),
     "sel4": dict(redewarp=False, iters=1, sel_redewarp=4),
+    "w160": dict(redewarp=False, iters=1, dewarp_window=160),
+    "sel2w160": dict(redewarp=False, iters=1, sel_redewarp=2,
+                     dewarp_window=160),
+    "sel2w144": dict(redewarp=False, iters=1, sel_redewarp=2,
+                     dewarp_window=144),
+    "sel3w144": dict(redewarp=False, iters=1, sel_redewarp=3,
+                     dewarp_window=144),
 }
 
 if __name__ == "__main__":

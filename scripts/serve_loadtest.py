@@ -42,6 +42,14 @@ def main(argv=None):
     ap.add_argument("--batch-wait-ms", type=float, default=8.0)
     ap.add_argument("--frame-px", type=int, default=640)
     ap.add_argument("--json-out", default=None)
+    ap.add_argument("--loopback", default="n", choices=("y", "n"),
+                    help="y: frames come from a pre-staged HBM pool keyed by "
+                    "ref id (batcher to_device hook) and clients drive the "
+                    "server stack in-process — batcher, pipeline, tracker, "
+                    "wire JSON — without the dev tunnel's ~6 MB/s frame "
+                    "upload, which is not part of the production path "
+                    "(a co-located host pays ~1 ms PCIe per batch). "
+                    "Measures what the server STACK sustains.")
     args = ap.parse_args(argv)
 
     from mtgvision_tpu.data.catalog import ProceduralBackgrounds, ProceduralCatalog
@@ -54,11 +62,13 @@ def main(argv=None):
     from mtgvision_tpu.utils.native import encode_jpeg
 
     catalog = ProceduralCatalog(n_cards=args.n_cards)
-    # the r4 unified serving config: flip-aware index + refine-head corners
+    # the r5 unified serving config: flip-aware index + refine-head corners
+    # + selective redewarp + flip vote (see eval_protocols_r5.sh)
     store = VectorStore(dim=768, flip_aware=True)
     pipe = build_pipeline(
         args.det, args.enc, store=store,
         refine_head_ckpt=args.refine_head, refine_head_flip=False,
+        sel_redewarp=2, flip_vote_m=3, dewarp_window=160,
         layout="2prog", score_thresh=0.15,
     )
     print("populating index...", file=sys.stderr)
@@ -87,9 +97,26 @@ def main(argv=None):
 
     batch_sizes: list[int] = []
     dispatch_s: list[float] = []
+    to_device = None
+    frames_u8 = []
+    if args.loopback == "y":
+        import jax.numpy as jnp
+
+        from mtgvision_tpu.ops.gather import take_rows
+        from mtgvision_tpu.utils.native import decode_jpeg
+
+        # pre-stage every client's frame in HBM once; dispatches fetch rows
+        # by ref id on device (u8 pool — the pipeline's native serving ingest)
+        frames_u8 = [decode_jpeg(p) for p in payloads]
+        pool_dev = jnp.asarray(np.stack(frames_u8))
+
+        def to_device(frames, refs):
+            return take_rows(pool_dev, jnp.asarray(refs, jnp.int32))
+
     batcher = FrameBatcher(
         pipe, max_batch=args.max_batch, max_wait_ms=args.batch_wait_ms,
         on_batch=lambda n, dt: (batch_sizes.append(n), dispatch_s.append(dt)),
+        to_device=to_device,
     )
     app = make_app(lambda: TrackerCtx(pipe, store=store), batcher=batcher)
 
@@ -141,7 +168,39 @@ def main(argv=None):
         finally:
             await tc.close()
 
-    counts, wall = asyncio.run(run())
+    async def loopback_client(ctx, frame, ref, stop_at, counts, idx):
+        # one frame in flight per client, like the ws clients; the full
+        # server stack runs — batcher dispatch, tracker ingest, wire JSON —
+        # only the socket + JPEG decode are skipped (the native threaded
+        # decoder parallelizes across cores; the event-loop stack here is
+        # the serialized part being measured)
+        while time.perf_counter() < stop_at:
+            out0 = await batcher.submit(frame, ref=ref)
+            objs = ctx.ingest(out0, frame)
+            json.dumps([o.to_dict() for o in objs])
+            counts[idx] += 1
+
+    async def run_loopback():
+        for rung in batcher.ladder:
+            t0 = time.perf_counter()
+            batcher._dispatch(
+                np.repeat(frames_u8[0][None], rung, axis=0), [0] * rung
+            )
+            print(f"warm rung {rung}: {time.perf_counter()-t0:.1f}s",
+                  file=sys.stderr)
+        batch_sizes.clear()
+        dispatch_s.clear()
+        ctxs = [TrackerCtx(pipe, store=store) for _ in range(args.clients)]
+        counts = [0] * args.clients
+        t0 = time.perf_counter()
+        stop_at = t0 + args.seconds
+        await asyncio.gather(
+            *(loopback_client(ctxs[i], frames_u8[i], i, stop_at, counts, i)
+              for i in range(args.clients))
+        )
+        return counts, time.perf_counter() - t0
+
+    counts, wall = asyncio.run(run_loopback() if args.loopback == "y" else run())
     n_frames = int(sum(counts))
     agg_fps = n_frames / wall
     mean_batch = float(np.mean(batch_sizes)) if batch_sizes else 0.0
@@ -162,6 +221,7 @@ def main(argv=None):
         "dispatch_busy_frac": round(busy / wall, 3),
         "max_batch": args.max_batch,
         "frame_px": args.frame_px,
+        "loopback": args.loopback == "y",
     }
     print(json.dumps(rec))
     if args.json_out:

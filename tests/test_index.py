@@ -211,3 +211,49 @@ def test_pipeline_flip_aware_select(rng):
     for det in range(2):
         cand = [int(v) for v in np.asarray(mi[0, det]) if v < len(st)]
         assert len(cand) == len(set(cand))
+
+
+def test_flip_vote_m_select(rng):
+    """flip_vote_m>1: the orientation comes from a score-weighted vote over
+    the top-m candidates' halves, not rank-0 alone (VERDICT r4 task 8). A
+    rank-0 outlier in the flipped half is outvoted by two upright
+    candidates with comparable scores."""
+    import jax.numpy as jnp
+
+    from mtgvision_tpu.index.store import VectorPoint, VectorStore
+    from mtgvision_tpu.infer.pipeline import FramePipeline
+    from mtgvision_tpu.models.convnextv2ae import ConvNeXtV2Encoder
+    from mtgvision_tpu.models.yolo import YoloSeg
+
+    d = 32
+    # hand-built ORTHOGONAL embeddings (basis vectors) so candidate scores
+    # are exact: upright card i = e_i, flipped card i = e_{i+8}
+    up = np.eye(d, dtype=np.float32)[:6]
+    fl = np.eye(d, dtype=np.float32)[8:14]
+    # query: strongest single hit is FLIPPED c0 (0.5), but upright c1+c2
+    # (0.45 + 0.44) outvote it
+    q = (0.5 * fl[0] + 0.45 * up[1] + 0.44 * up[2]).astype(np.float32)
+    st = VectorStore(dim=d, capacity=8, flip_aware=True)
+    st.save_points([
+        VectorPoint(id=f"c{i}", vector=up[i], flip_vector=fl[i])
+        for i in range(6)
+    ])
+
+    def select(vote_m):
+        pipe = FramePipeline(
+            YoloSeg(num_classes=1, size="n"), None,
+            ConvNeXtV2Encoder(image_hw=(32, 32), z_size=d, depths=(1, 1, 1, 1),
+                              dims=(8, 8, 8, 8)), None,
+            store=st, max_det=1, top_k=3, flip_vote_m=vote_m,
+        )
+        z = jnp.asarray(q[None][None][None])  # (1,1,1,D)
+        corners = jnp.asarray(rng.random((1, 1, 4, 2)), jnp.float32)
+        rv, half = pipe._index_mask(st._matrix())
+        ms, mi, _, flipped, _ = pipe._match_select_stage(
+            z, corners, st._matrix(), rv, half
+        )
+        return bool(flipped[0, 0])
+
+    # rank-0 decision: the lone flipped hit wins; vote: upright majority wins
+    assert select(1) is True
+    assert select(3) is False

@@ -273,7 +273,7 @@ def test_batcher_failure_recovery():
     calls = {"n": 0}
     batcher = FrameBatcher(pipeline=None, max_batch=4, max_wait_ms=5.0)
 
-    def fake_dispatch(frames):
+    def fake_dispatch(frames, refs=None):
         calls["n"] += 1
         if calls["n"] == 1:
             raise Weird("boom", 2)
@@ -296,7 +296,9 @@ def test_batcher_failure_recovery():
     # an unstackable micro-batch (same HW key, mismatched channels) fails
     # its waiters but the collector keeps serving the next good frame
     batcher2 = FrameBatcher(pipeline=None, max_batch=4, max_wait_ms=100.0)
-    batcher2._dispatch = lambda frames: {"slot": np.arange(frames.shape[0])}
+    batcher2._dispatch = (
+        lambda frames, refs=None: {"slot": np.arange(frames.shape[0])}
+    )
 
     async def run2():
         f_good = np.zeros((8, 8, 3), np.uint8)
