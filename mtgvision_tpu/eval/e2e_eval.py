@@ -298,9 +298,21 @@ def evaluate_e2e(
                         stats.n_top5_idable += 1
             if details is not None:
                 scores = out.get("match_scores")
+                # roll diagnostics: err under all 4 cyclic corner orders —
+                # a small roll-1/roll-3 error with a large roll-0/roll-2
+                # error means the point SET is right but the labeling is
+                # rotated 90° (principal-axis mis-assignment)
+                roll_errs = [
+                    float(np.linalg.norm(
+                        np.roll(corners[best], r, axis=0) - quad, axis=1
+                    ).mean())
+                    for r in range(4)
+                ]
                 details.append({
                     "detected": True, "rank": rank, "card_id": card.id,
                     "corner_err": err, "quad_err": min(err, err_flip),
+                    "quad_err_any": min(roll_errs),
+                    "roll_best": int(np.argmin(roll_errs)),
                     "flipped": bool(err_flip < err),
                     "area_px": float(poly_area(quad)),
                     "occluded_frac": _occluded_frac(quad, quads[:gi]),

@@ -391,3 +391,32 @@ def refine_quad_from_crop(
 def orient_batch(masks: jnp.ndarray):
     """(D, H, W) masks → ((D,4,2) corners, (D,) ok)."""
     return jax.vmap(orient_corners)(masks)
+
+
+def enforce_quad_aspect(corners: jnp.ndarray, margin: float = 1.1) -> jnp.ndarray:
+    """Roll 90°-mislabeled quads so the long axis maps to the crop height.
+
+    Principal-axis mis-assignment repair: the mask-moment axis
+    (orient_corners) can pick the card's SHORT axis on degraded/occluded
+    masks. The extreme-point corners are the same 4 pixels either way (the
+    ±diagonal score sets coincide under a 90° axis rotation), so the failure
+    is pure LABELING — the dewarp then produces a sideways crop the encoder
+    cannot match (measured: 3/12 headline failures with roll_best 1/3).
+    Cards are physically ~1.4× taller than wide (print sheet geometry the
+    reference also relies on, od_export.py:95-110 fixed 192×128 dst), so
+    when the labeled top+bottom edges exceed ``margin``× the left+right
+    edges, roll the labeling by one. The remaining 180° ambiguity is exactly
+    what the flip-aware index (or dual-orientation match) resolves.
+
+    corners (..., 4, 2) [TL,TR,BR,BL] → same shape.
+    """
+    top = jnp.linalg.norm(
+        corners[..., 0, :] - corners[..., 1, :], axis=-1
+    ) + jnp.linalg.norm(corners[..., 2, :] - corners[..., 3, :], axis=-1)
+    side = jnp.linalg.norm(
+        corners[..., 1, :] - corners[..., 2, :], axis=-1
+    ) + jnp.linalg.norm(corners[..., 3, :] - corners[..., 0, :], axis=-1)
+    swap = top > margin * side
+    return jnp.where(
+        swap[..., None, None], jnp.roll(corners, 1, axis=-2), corners
+    )

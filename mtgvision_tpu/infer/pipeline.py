@@ -145,6 +145,10 @@ class FramePipeline:
         # level cutoffs shift down); measured fps/quality tradeoff in
         # scripts/probe_redewarp_fps.py + sweep_redewarp_quality.sh.
         dewarp_window: int = 192,
+        # roll 90°-mislabeled quads so the card's long axis maps to the crop
+        # height (see the repair note in _rectify_embed_stage). Seg-mask
+        # front end only; GT-corner oracle and obb paths are unaffected.
+        aspect_fix: bool = True,
         orient_sign: str = "notch",  # "notch" | "extent" (orient.py)
         orient_head=None,  # models/orient_head.OrientHead | None
         orient_head_vars=None,
@@ -232,6 +236,7 @@ class FramePipeline:
             dewarp_impl = "xla"
         self.dewarp_impl = dewarp_impl
         self.dewarp_window = dewarp_window
+        self.aspect_fix = aspect_fix
         self.det_kind = det_kind
         self.box_snap = box_snap
         if layout not in ("3prog", "2prog", "fused"):
@@ -300,6 +305,10 @@ class FramePipeline:
             return jax.vmap(per_det)(frame_masks, frame_valid)
 
         corners, ok = jax.vmap(per_frame)(masks, valid)
+        if self.aspect_fix:
+            from mtgvision_tpu.infer.orient import enforce_quad_aspect
+
+            corners = enforce_quad_aspect(corners)
         if self.box_snap and boxes is not None:
             # The detector's box GT is the full quad AABB (amodal) while the
             # mask covers only visible pixels, so moment corners shrink

@@ -127,3 +127,27 @@ def test_extract_dewarped_upright():
     assert crop.shape == (96, 64, 3)
     # interior content matches the frame region (5% border expand)
     assert np.isfinite(np.asarray(crop)).all()
+
+
+def test_enforce_quad_aspect():
+    """90°-mislabeled quads are rolled so the long axis is vertical; healthy
+    quads and borderline (within-margin) quads are untouched."""
+    from mtgvision_tpu.infer.orient import enforce_quad_aspect
+
+    # healthy portrait card: sides (140) longer than top (100)
+    good = jnp.asarray([[0, 0], [100, 0], [100, 140], [0, 140]], jnp.float32)
+    out = enforce_quad_aspect(good[None])[0]
+    assert np.allclose(out, good)
+
+    # sideways labeling: top edges (140) longer than sides (100) → rolled
+    bad = jnp.asarray([[0, 0], [140, 0], [140, 100], [0, 100]], jnp.float32)
+    out = enforce_quad_aspect(bad[None])[0]
+    assert np.allclose(out, jnp.roll(bad, 1, axis=0))
+    # rolled quad now has its long axis vertical in label order
+    top = np.linalg.norm(out[0] - out[1])
+    side = np.linalg.norm(out[1] - out[2])
+    assert side > top
+
+    # borderline (aspect within the 1.1 margin): untouched
+    near = jnp.asarray([[0, 0], [105, 0], [105, 100], [0, 100]], jnp.float32)
+    assert np.allclose(enforce_quad_aspect(near[None])[0], near)
