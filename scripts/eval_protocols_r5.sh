@@ -43,6 +43,14 @@ python -m mtgvision_tpu.eval.system "${COMMON[@]}" \
   --n-cards 512 --min-area-ratio 0.02 --max-cards 4 --oracle y \
   --json-out "$OUT/e2e_oracle_refdist.json"
 
+# oracle under the REFPARITY distribution (jitter 0.7, half off-frame):
+# the appearance ceiling of the hardest protocol — splits "corners can't
+# recover under heavy jitter" from "the crop is unidentifiable anyway"
+python -m mtgvision_tpu.eval.system "${COMMON[@]}" \
+  --n-cards 512 --min-area-ratio 0.02 --max-cards 4 --oracle y \
+  --jitter 0.7 --min-visible-edge 0.0 \
+  --json-out "$OUT/e2e_oracle_refparity.json"
+
 # NEW track-level protocols: N-frame jittered sequences, scored per TRACK
 # through the real tracker + EWMA fusion (eval/track_eval.py)
 python -m mtgvision_tpu.eval.system "${COMMON[@]}" \
