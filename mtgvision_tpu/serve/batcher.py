@@ -78,6 +78,7 @@ class FrameBatcher:
         on_batch: Optional[Callable[[int, float], None]] = None,
         max_inflight: int = 2,
         to_device: Optional[Callable] = None,
+        mask_px: int = 64,
     ):
         # ``to_device(frames_u8, refs) -> device array``: how a stacked host
         # batch reaches the pipeline. Default uploads the pixels
@@ -89,6 +90,12 @@ class FrameBatcher:
         # production path).
         self.pipeline = pipeline
         self.to_device = to_device
+        # device-side mask downsample size before fetch (0 = fetch proto
+        # res); see the wire-thinning note in _dispatch
+        self.mask_px = mask_px
+        # (batch, device_seconds, fetch_seconds) per dispatch — lets load
+        # tests attribute wall time to device work vs host-link transfer
+        self.split_log: list[tuple[int, float, float]] = []
         self.ladder = batch_ladder(max_batch)
         self.max_wait = max_wait_ms / 1000.0
         self.on_batch = on_batch  # (batch_frames, dispatch_seconds) metrics
@@ -186,6 +193,7 @@ class FrameBatcher:
     def _dispatch(self, frames: np.ndarray, refs=None) -> dict:
         import time as _time
 
+        import jax
         import jax.numpy as jnp
 
         n = frames.shape[0]
@@ -203,17 +211,35 @@ class FrameBatcher:
             else:
                 dev = jnp.asarray(frames)
             out = self.pipeline(dev)
-            # ONE host fetch for the whole batch (np.asarray blocks); padded
-            # tail rows are dropped before slices go back to connections
-            host = {
-                k: np.asarray(out[k])[:n]
-                for k in _OUT_KEYS
-                if out.get(k) is not None
+            # Wire-thinning ON DEVICE before the fetch: the raw outputs of a
+            # batch-64 dispatch are ~15 MB (13 MB of 160² proto masks) — the
+            # overlay polygon doesn't need proto res (mask_px=64 default,
+            # ~10 px steps at 640), and the EWMA embedding is fine in f16.
+            # A co-located host pays ~ms either way; thin payloads matter on
+            # any slower host link and shrink per-connection wire JSON work.
+            masks = out["masks"]
+            if self.mask_px and masks.shape[-1] != self.mask_px:
+                b, d = masks.shape[:2]
+                masks = jax.image.resize(
+                    masks, (b, d, self.mask_px, self.mask_px), "linear"
+                )
+            masks_u8 = (jnp.clip(masks, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+            z16 = out["z"].astype(jnp.float16)
+            fetchables = {
+                k: out[k] for k in _OUT_KEYS
+                if k != "z" and out.get(k) is not None
             }
-            host["masks_u8"] = np.asarray(
-                (out["masks"] * 255.0).astype(jnp.uint8)
-            )[:n]
-            dt = _time.perf_counter() - t0
+            fetchables["z"] = z16
+            fetchables["masks_u8"] = masks_u8
+            # wait for device completion INSIDE the lock, fetch OUTSIDE it:
+            # with max_inflight ≥ 2 the next batch's device work overlaps
+            # this batch's host fetch instead of serializing behind it
+            jax.block_until_ready(list(fetchables.values()))
+            t_dev = _time.perf_counter() - t0
+        t1 = _time.perf_counter()
+        host = {k: np.asarray(v)[:n] for k, v in fetchables.items()}
+        t_fetch = _time.perf_counter() - t1
+        self.split_log.append((n, t_dev, t_fetch))
         if self.on_batch is not None:
-            self.on_batch(n, dt)
+            self.on_batch(n, t_dev + t_fetch)
         return host

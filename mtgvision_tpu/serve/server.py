@@ -148,7 +148,9 @@ class TrackerCtx:
         valid = out0["valid"]
         corners = out0["corners"]
         scores = out0["det_scores"]
-        zs = out0["z"]
+        # batched dispatches ship z as f16 (batcher wire thinning); EWMA
+        # accumulates in f32
+        zs = np.asarray(out0["z"], np.float32)
         masks = out0["masks_u8"]  # (D, H/4, W/4) sigmoid × 255 as uint8
         mask_scale = frame.shape[0] / masks.shape[1]
 
@@ -168,16 +170,25 @@ class TrackerCtx:
             trk.corners = corners[slot]
             trk.points_est = obj.estimate  # smoothed tracker quad (norfair parity)
             trk.score = float(scores[slot])
-            # raw mask outline at frame scale (reference: masks.xy polygon)
-            from mtgvision_tpu.ops.polygon import mask_contour
-
-            trk.polygon = mask_contour(masks[slot].astype(np.float32) / 255.0) * mask_scale
             # throttled heavy path: EWMA embed + index query (server.py:178-202).
             # The q50 crop thumbnail rides the SAME throttle — the reference
             # re-encodes it every frame (server.py:222-225), which at batched
             # throughput makes host JPEG encode the serving bottleneck; the
             # client only needs it when the match display refreshes anyway.
             if now - trk.last_update_time > self.update_wait_sec or trk.avg_z is None:
+                # raw mask outline at frame scale (reference: masks.xy
+                # polygon). Rides the SAME throttle as the thumbnail/match:
+                # the marching-squares contour is the dominant per-track host
+                # cost (~ms each), and at batched-serving rates per-frame
+                # contours saturate the host while the client already gets
+                # the smoothed tracker quad every frame — the outline only
+                # refreshes the decorative mask overlay.
+                from mtgvision_tpu.ops.polygon import mask_contour
+
+                trk.polygon = (
+                    mask_contour(masks[slot].astype(np.float32) / 255.0)
+                    * mask_scale
+                )
                 # thumbnail from the HOST-side frame (axis-aligned bbox of
                 # the oriented quad): the device crop tensor is ~19 MB per
                 # batched dispatch and dominated serving time when fetched

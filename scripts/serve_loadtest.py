@@ -156,6 +156,7 @@ def main(argv=None):
             print(f"warmup done ({warm[0]} frames)", file=sys.stderr)
             batch_sizes.clear()
             dispatch_s.clear()
+            batcher.split_log.clear()
             counts = [0] * args.clients
             t0 = time.perf_counter()
             stop_at = t0 + args.seconds
@@ -190,6 +191,7 @@ def main(argv=None):
                   file=sys.stderr)
         batch_sizes.clear()
         dispatch_s.clear()
+        batcher.split_log.clear()
         ctxs = [TrackerCtx(pipe, store=store) for _ in range(args.clients)]
         counts = [0] * args.clients
         t0 = time.perf_counter()
@@ -222,6 +224,12 @@ def main(argv=None):
         "max_batch": args.max_batch,
         "frame_px": args.frame_px,
         "loopback": args.loopback == "y",
+        # device vs host-link attribution (batcher.split_log): on this dev
+        # container the fetch crosses a ~6 MB/s tunnel; a co-located host
+        # pays ~ms over PCIe, so device_fps is the production-projected rate
+        "mean_device_ms": round(1e3 * float(np.mean([d for _, d, _ in batcher.split_log])), 1) if batcher.split_log else None,
+        "mean_fetch_ms": round(1e3 * float(np.mean([f for _, _, f in batcher.split_log])), 1) if batcher.split_log else None,
+        "device_fps": round(float(np.sum([n for n, _, _ in batcher.split_log]) / max(np.sum([d for _, d, _ in batcher.split_log]), 1e-9)), 1) if batcher.split_log else None,
     }
     print(json.dumps(rec))
     if args.json_out:
